@@ -1,0 +1,133 @@
+"""ε-predictor wrapper around the EGNN (reference Dynamics /
+DynamicsWithPockets, src/egnn.py:323-596).
+
+Differences from the reference, by design:
+  * No flattening to (B·N) and no cached edge index lists — the graph is the
+    dense (B, N, N, 1) edge mask throughout.
+  * For pocket models the distance-cutoff graph is recomputed *inside jit*
+    from the current coordinates as a dense boolean mask
+    (ops/geometry.distance_edge_mask), instead of `torch.where` index
+    extraction (src/egnn.py:554-596) which would be a dynamic shape.
+  * NaN detection is a returned per-sample flag (jit-safe) rather than a
+    raised FoundNaNException; callers re-draw flagged samples host-side.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from difflinker_tpu.config import GraphType, ModelConfig
+from difflinker_tpu.models import egnn as egnn_lib
+from difflinker_tpu.ops import geometry
+
+
+def init_dynamics(key, cfg: ModelConfig, dtype=jnp.float32):
+    in_nf = cfg.dynamics_in_nf
+    if cfg.model == 'egnn_dynamics':
+        return {'egnn': egnn_lib.init_egnn(
+            key, in_nf, cfg.hidden_nf, out_node_nf=in_nf,
+            n_layers=cfg.n_layers, inv_sublayers=cfg.inv_sublayers,
+            attention=cfg.attention, tanh=cfg.tanh,
+            sin_embedding=cfg.sin_embedding, dtype=dtype)}
+    elif cfg.model == 'gnn_dynamics':
+        params, state = egnn_lib.init_gnn(
+            key, in_nf + cfg.n_dims, cfg.hidden_nf, out_node_nf=in_nf + cfg.n_dims,
+            n_layers=cfg.n_layers, attention=cfg.attention,
+            normalization=cfg.normalization, dtype=dtype)
+        return {'gnn': params, 'gnn_state': state}
+    raise ValueError(cfg.model)
+
+
+def _assemble_node_features(xh, t, context, node_mask, cfg: ModelConfig):
+    """Split xh into (x, h) and append time/context channels
+    (src/egnn.py:392-407)."""
+    bs, n_nodes = xh.shape[0], xh.shape[1]
+    xh = xh * node_mask
+    x = xh[..., :cfg.n_dims]
+    h = xh[..., cfg.n_dims:]
+    if cfg.condition_time:
+        t = jnp.asarray(t, xh.dtype)
+        if t.ndim == 0:
+            h_time = jnp.full((bs, n_nodes, 1), t, xh.dtype)
+        else:
+            h_time = jnp.broadcast_to(t.reshape(bs, 1, 1), (bs, n_nodes, 1))
+        h = jnp.concatenate([h, h_time], axis=-1)
+    if context is not None and cfg.context_node_nf > 0:
+        h = jnp.concatenate([h, context], axis=-1)
+    return x, h
+
+
+def dynamics_apply(
+    params,
+    t,
+    xh: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    linker_mask: Optional[jnp.ndarray],
+    edge_mask: Optional[jnp.ndarray],
+    context: Optional[jnp.ndarray],
+    *,
+    cfg: ModelConfig,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predict ε̂ = [vel, h_out] on a padded batch.
+
+    Args:
+      t: scalar or (B,) / (B, 1) diffusion time in [0, 1].
+      xh: (B, N, 3 + in_node_nf).
+      node_mask, linker_mask: (B, N, 1).
+      edge_mask: (B, N, N, 1) for FC graphs (from the collate), ignored for
+        distance-graph types which rebuild it from coordinates.
+      context: (B, N, context_node_nf) or None.
+
+    Returns:
+      eps_hat: (B, N, 3 + in_node_nf) — coordinate velocity + node features.
+      nan_flag: (B,) bool — per-sample NaN indicator (replaces
+        FoundNaNException, src/egnn.py:441-442).
+    """
+    x, h = _assemble_node_features(xh, t, context, node_mask, cfg)
+
+    mean_count_static = True
+    if cfg.graph_type != GraphType.FC:
+        # Distance-graph edge lists in the reference contain only real edges,
+        # so 'mean' aggregation counts masked neighbours there.
+        mean_count_static = False
+        # Pocket models: fragment/pocket indicator channels are the last two
+        # context features (src/egnn.py:486-488); rebuild the distance graph
+        # from the *current* coordinates every call (src/egnn.py:495-499).
+        fragment_only = context[..., -2:-1]
+        pocket_only = context[..., -1:]
+        edge_mask = geometry.distance_edge_mask(
+            x, node_mask, linker_mask, fragment_only, pocket_only,
+            cfg.graph_type.value)
+
+    if cfg.model == 'egnn_dynamics':
+        h_final, x_final = egnn_lib.egnn_apply(
+            params['egnn'], h, x, node_mask, linker_mask, edge_mask,
+            cfg=cfg, remat=remat, mean_count_static=mean_count_static)
+        vel = (x_final - x) * node_mask
+    elif cfg.model == 'gnn_dynamics':
+        # The reference GNN-ablation path passes no edge mask at all
+        # (src/egnn.py:423): messages flow over the full intra-sample FC
+        # graph including padded nodes.
+        out, _ = egnn_lib.gnn_apply(
+            params['gnn'], jnp.concatenate([x, h], axis=-1), node_mask,
+            None, cfg=cfg, state=params.get('gnn_state'), train=False)
+        vel = out[..., :cfg.n_dims] * node_mask
+        h_final = out[..., cfg.n_dims:]
+    else:
+        raise ValueError(cfg.model)
+
+    # Slice off context then time channels (src/egnn.py:429-435).
+    if context is not None and cfg.context_node_nf > 0:
+        h_final = h_final[..., :-cfg.context_node_nf]
+    if cfg.condition_time:
+        h_final = h_final[..., :-1]
+
+    if cfg.centering:
+        vel = geometry.remove_mean_with_mask(vel, node_mask)
+
+    nan_flag = (jnp.any(jnp.isnan(vel.reshape(vel.shape[0], -1)), axis=-1)
+                | jnp.any(jnp.isnan(h_final.reshape(h_final.shape[0], -1)), axis=-1))
+    return jnp.concatenate([vel, h_final], axis=-1), nan_flag

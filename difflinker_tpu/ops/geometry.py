@@ -1,0 +1,183 @@
+"""Dense geometry primitives for fixed-shape padded molecular graphs.
+
+The reference computes pairwise quantities over flattened sparse edge index
+lists (coord2diff at src/egnn.py:295-301, scatter-add at :304-320). On TPU we
+keep everything as dense (B, N, N, .) tensors with multiplicative masks: XLA
+tiles the resulting batched matmuls onto the MXU and there are no dynamic
+shapes anywhere.
+
+All functions are jit-safe and shape-polymorphic over leading batch dims.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS_D2 = 1e-8  # matches the sqrt regulariser in the reference (src/egnn.py:299)
+
+
+def coord2diff(x: jnp.ndarray, norm_constant: float = 1.0):
+    """Pairwise squared distances and normalised coordinate differences.
+
+    Args:
+      x: (B, N, 3) positions.
+      norm_constant: added to the pair distance before normalising the diff
+        (reference default 1; Dynamics configs use 1e-6).
+
+    Returns:
+      d2: (B, N, N, 1) squared distances.
+      cdiff: (B, N, N, 3) = (x_i - x_j) / (|x_i - x_j| + norm_constant),
+        indexed [b, i, j].
+    """
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    norm = jnp.sqrt(d2 + EPS_D2)
+    cdiff = diff / (norm + norm_constant)
+    return d2, cdiff
+
+
+def pairwise_dist(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, N) Euclidean distances."""
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + EPS_D2)
+
+
+def fc_edge_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Fully-connected edge mask minus self-loops from a (B, N, 1) node mask.
+
+    Matches the dense ZINC collate edge mask (src/datasets.py:366-369).
+    Returns (B, N, N, 1).
+    """
+    nm = node_mask[..., 0]
+    adj = nm[:, :, None] * nm[:, None, :]
+    n = adj.shape[-1]
+    adj = adj * (1.0 - jnp.eye(n, dtype=adj.dtype))
+    return adj[..., None]
+
+
+def distance_edge_mask(
+    x: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    linker_mask: jnp.ndarray,
+    fragment_only_mask: jnp.ndarray,
+    pocket_only_mask: jnp.ndarray,
+    graph_type: str,
+) -> jnp.ndarray:
+    """Dense distance-cutoff adjacency for pocket models, recomputed from the
+    *current* coordinates each diffusion step.
+
+    Dense masked equivalent of DynamicsWithPockets.get_dist_edges_4A /
+    get_dist_edges (src/egnn.py:554-596): instead of extracting index lists
+    from the boolean adjacency, we keep the adjacency itself as the edge mask.
+
+    graph_type:
+      '4A'        — all pairs within 4 Angstrom.
+      'FC-4A'     — ligand FC, pocket pairs <= 4A, ligand-pocket <= 4A.
+      'FC-10A-4A' — ligand FC, pocket pairs <= 4A, ligand-pocket <= 10A.
+
+    Returns (B, N, N, 1) float mask.
+    """
+    nm = node_mask[..., 0] > 0
+    n = nm.shape[-1]
+    base = (nm[:, :, None] & nm[:, None, :]) & ~jnp.eye(n, dtype=bool)
+    dists = pairwise_dist(x)
+
+    if graph_type == '4A':
+        adj = base & (dists <= 4.0)
+    elif graph_type in ('FC-4A', 'FC-10A-4A'):
+        lig = ((linker_mask[..., 0] > 0) | (fragment_only_mask[..., 0] > 0)) & nm
+        poc = (pocket_only_mask[..., 0] > 0) & nm
+        lig_lig = lig[:, :, None] & lig[:, None, :]
+        poc_poc = (poc[:, :, None] & poc[:, None, :]) & (dists <= 4.0)
+        cutoff = 4.0 if graph_type == 'FC-4A' else 10.0
+        cross = lig[:, :, None] & poc[:, None, :]
+        lig_poc = (cross | jnp.swapaxes(cross, 1, 2)) & (dists <= cutoff)
+        adj = base & (lig_lig | poc_poc | lig_poc)
+    else:
+        raise ValueError(f'unknown graph_type {graph_type!r}')
+    return adj.astype(x.dtype)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Masked centre-of-mass operations (reference: src/utils.py:50-96)
+# ---------------------------------------------------------------------------
+
+def remove_mean_with_mask(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the masked mean; keeps padded rows exactly zero."""
+    n = jnp.sum(node_mask, axis=1, keepdims=True)
+    mean = jnp.sum(x * node_mask, axis=1, keepdims=True) / n
+    return (x - mean) * node_mask
+
+
+def remove_partial_mean_with_mask(
+    x: jnp.ndarray, node_mask: jnp.ndarray, com_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Subtract the centre of mass of the `com_mask` subset (fragments or
+    anchors) from every real atom (src/utils.py:66-74)."""
+    n = jnp.sum(com_mask, axis=1, keepdims=True)
+    mean = jnp.sum(x * com_mask, axis=1, keepdims=True) / n
+    return x - mean * node_mask
+
+
+def mean_with_mask(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.sum(mask, axis=1, keepdims=True)
+    return jnp.sum(x * mask, axis=1, keepdims=True) / n
+
+
+# ---------------------------------------------------------------------------
+# Masked Gaussian sampling (reference: src/utils.py:158-192) — functional RNG
+# ---------------------------------------------------------------------------
+
+def sample_gaussian_with_mask(key, shape, node_mask, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * node_mask
+
+
+def sample_com_free_gaussian_with_mask(key, shape, node_mask, dtype=jnp.float32):
+    """Gaussian noise projected onto the zero-centre-of-mass hyperplane
+    (valid because an isotropic Gaussian is rotation invariant;
+    src/utils.py:158-168)."""
+    x = jax.random.normal(key, shape, dtype) * node_mask
+    return remove_mean_with_mask(x, node_mask)
+
+
+# ---------------------------------------------------------------------------
+# Random-rotation augmentation (reference: src/utils.py:303-361)
+# ---------------------------------------------------------------------------
+
+def random_rotation(key, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply an independent random rotation (Euler XYZ) per sample: x @ Rᵀ."""
+    bs = x.shape[0]
+    kx, ky, kz = jax.random.split(key, 3)
+
+    def axis_rot(theta, axis):
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        one = jnp.ones_like(c)
+        zero = jnp.zeros_like(c)
+        if axis == 0:
+            rows = [one, zero, zero, zero, c, s, zero, -s, c]
+        elif axis == 1:
+            rows = [c, zero, -s, zero, one, zero, s, zero, c]
+        else:
+            rows = [c, s, zero, -s, c, zero, zero, zero, one]
+        return jnp.stack(rows, axis=-1).reshape(-1, 3, 3)
+
+    def angles(k):
+        return jax.random.uniform(k, (bs,)) * 2.0 * jnp.pi - jnp.pi
+
+    r = axis_rot(angles(kx), 0)
+    r = jnp.einsum('bij,bjk->bik', axis_rot(angles(ky), 1), r)
+    r = jnp.einsum('bij,bjk->bik', axis_rot(angles(kz), 2), r)
+    return jnp.einsum('bij,bnj->bni', r, x)
+
+
+# ---------------------------------------------------------------------------
+# Reductions
+# ---------------------------------------------------------------------------
+
+def sum_except_batch(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(x.reshape(x.shape[0], -1), axis=-1)
+
+
+def numbers_of_nodes(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 1) mask -> (B,) node counts."""
+    return jnp.sum(mask[..., 0], axis=1)
