@@ -42,16 +42,23 @@ def pairwise_dist(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + EPS_D2)
 
 
-def fc_edge_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
-    """Fully-connected edge mask minus self-loops from a (B, N, 1) node mask.
+def fc_edge_mask(node_mask: jnp.ndarray, reference_values: bool = True) -> jnp.ndarray:
+    """Fully-connected edge mask from a (B, N, 1) node mask → (B, N, N, 1).
 
-    Matches the dense ZINC collate edge mask (src/datasets.py:366-369).
-    Returns (B, N, N, 1).
+    With `reference_values` (default), reproduces the reference collate's
+    exact values: **-1 for real off-diagonal pairs, -2 on real self-loops, 0
+    on padding** — the reference's `~torch.eye(N, dtype=int8)` is a bitwise
+    NOT (src/datasets.py:366-369), and the released checkpoints were trained
+    with messages multiplied by these values. With False: plain 0/1 minus
+    self-loops.
     """
     nm = node_mask[..., 0]
     adj = nm[:, :, None] * nm[:, None, :]
     n = adj.shape[-1]
-    adj = adj * (1.0 - jnp.eye(n, dtype=adj.dtype))
+    if reference_values:
+        adj = adj * -(1.0 + jnp.eye(n, dtype=adj.dtype))
+    else:
+        adj = adj * (1.0 - jnp.eye(n, dtype=adj.dtype))
     return adj[..., None]
 
 

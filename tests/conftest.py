@@ -44,8 +44,9 @@ def make_batch(rng, B=3, N=20, nf=8, n_frag=9, n_real=16, pocket=0, dtype=np.flo
     anchors = np.zeros((B, N, 1), dtype)
     anchors[:, [1, n_frag - 1]] = 1
     anchors *= node_mask
+    # reference-style values {0, -1, -2} — see data/collate.reference_edge_mask
     edge_mask = (node_mask[:, :, None, 0] * node_mask[:, None, :, 0]
-                 * (1 - np.eye(N, dtype=dtype)))[..., None]
+                 * -(1 + np.eye(N, dtype=dtype)))[..., None]
     return {
         'positions': x, 'one_hot': one_hot, 'atom_mask': node_mask,
         'fragment_mask': fragment, 'fragment_only_mask': fragment_only,
