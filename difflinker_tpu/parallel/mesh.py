@@ -24,6 +24,13 @@ def make_mesh(n_devices: Optional[int] = None,
     """1-D (or user-shaped) device mesh over the available devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'requested a {n_devices}-device mesh but only '
+                f'{len(devices)} device(s) are visible '
+                f'({jax.default_backend()} backend); for virtual CPU devices '
+                f'set XLA_FLAGS=--xla_force_host_platform_device_count='
+                f'{n_devices} before any backend initialises')
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)

@@ -1,0 +1,169 @@
+"""High-level linker sampling API.
+
+Covers the reference's sampling entry paths (DDPM.sample_chain,
+src/lightning.py:405-463; sample.py; generate.py):
+
+  * linker-size selection: ground truth, constant, uniform range, categorical
+    prior (DistributionNodes) or a trained SizePredictor;
+  * template construction (fragments kept, linker rows re-initialised) padded
+    to size buckets so each (B, N) shape compiles once;
+  * context assembly + fragment-CoM removal;
+  * the whole reverse chain as one jitted program per shape (cached);
+  * NaN handling: per-sample flags from the scan; flagged samples are re-drawn
+    with fresh keys up to `max_retries` times (replaces the reference's
+    exception-based retry, generate.py:153-161).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difflinker_tpu.config import ExperimentConfig
+from difflinker_tpu.data.collate import create_templates_for_linker_generation
+from difflinker_tpu.diffusion.edm import make_edm
+from difflinker_tpu.models.size_gnn import DistributionNodes
+from difflinker_tpu.train.trainer import assemble_context, com_mask_for
+
+
+SizeSpec = Union[str, int, Tuple[int, int], Callable]
+
+
+def resolve_linker_sizes(size_spec: SizeSpec, batch: Dict, key) -> np.ndarray:
+    """Linker sizes per sample (generate.py:68-99 polymorphism)."""
+    n = np.asarray(batch['fragment_mask']).shape[0]
+    if callable(size_spec):
+        return np.asarray(size_spec(batch), np.int32)
+    if size_spec == 'ground_truth':
+        return np.asarray(batch['linker_mask'])[..., 0].sum(-1).astype(np.int32)
+    if size_spec == 'prior':
+        return np.asarray(DistributionNodes().sample(key, n), np.int32)
+    if isinstance(size_spec, int):
+        return np.full((n,), size_spec, np.int32)
+    if isinstance(size_spec, (tuple, list)) and len(size_spec) == 2:
+        lo, hi = size_spec
+        return np.asarray(jax.random.randint(key, (n,), lo, hi + 1), np.int32)
+    raise ValueError(f'bad linker size spec: {size_spec!r}')
+
+
+class LinkerSampler:
+    def __init__(self, cfg: ExperimentConfig, params, edm=None,
+                 max_retries: int = 5):
+        self.cfg = cfg
+        self.edm = edm or make_edm(cfg.model, cfg.diffusion)
+        self.params = params
+        self.max_retries = max_retries
+        self._compiled = {}
+
+    # -- jit cache -------------------------------------------------------------
+
+    def _chain_fn(self, shape_key, keep_frames):
+        if (shape_key, keep_frames) not in self._compiled:
+            def fn(params, key, x, h, node_mask, fragment_mask, linker_mask,
+                   edge_mask, context):
+                return self.edm.sample_chain(
+                    params, key, x, h, node_mask, fragment_mask, linker_mask,
+                    edge_mask, context, keep_frames=keep_frames)
+            self._compiled[(shape_key, keep_frames)] = jax.jit(fn)
+        return self._compiled[(shape_key, keep_frames)]
+
+    # -- main API ----------------------------------------------------------------
+
+    def sample(self, batch: Dict, key, *, size_spec: SizeSpec = 'ground_truth',
+               keep_frames: Optional[int] = None,
+               recenter_output: bool = False) -> Dict[str, np.ndarray]:
+        """Generate linkers for a padded batch of fragment(+pocket) inputs.
+
+        Returns dict with positions (B, N, 3), one_hot (B, N, nf), node_mask,
+        linker_mask, num_retries, nan_flag (+ 'chain' if keep_frames).
+        """
+        ksize, kchain = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+        sizes = resolve_linker_sizes(size_spec, batch, ksize)
+
+        if self.cfg.diffusion.inpainting:
+            template = batch  # inpainting keeps the original layout
+        else:
+            template = create_templates_for_linker_generation(batch, sizes)
+
+        x = jnp.asarray(template['positions'])
+        h = jnp.asarray(template['one_hot'])
+        node_mask = jnp.asarray(template['atom_mask'])
+        fragment_mask = jnp.asarray(template['fragment_mask'])
+        linker_mask = jnp.asarray(template['linker_mask'])
+        edge_mask = jnp.asarray(template['edge_mask'])
+        jt = {k: jnp.asarray(v) for k, v in template.items()
+              if isinstance(v, np.ndarray)}
+
+        context = assemble_context(
+            jt, anchors_context=self.cfg.train.anchors_context,
+            has_pocket=self.cfg.data.has_pocket)
+        com_mask = com_mask_for(
+            jt, center_of_mass=self.cfg.train.center_of_mass,
+            has_pocket=self.cfg.data.has_pocket,
+            inpainting=self.cfg.diffusion.inpainting)
+
+        from difflinker_tpu.ops import geometry
+        com = geometry.mean_with_mask(x, com_mask)
+        x = x - com * node_mask
+
+        fn = self._chain_fn((x.shape, keep_frames is not None), keep_frames)
+
+        out_x, out_h, chain = None, None, None
+        pending = np.ones((x.shape[0],), bool)
+        n_retries = 0
+        for attempt in range(self.max_retries + 1):
+            res = fn(self.params, kchain, x, h, node_mask, fragment_mask,
+                     linker_mask, edge_mask, context)
+            if keep_frames is None:
+                xs, hs, nan = res
+            else:
+                xs, hs, nan, ch = res
+            nan = np.asarray(nan)
+            xs, hs = np.asarray(xs), np.asarray(hs)
+            if out_x is None:
+                out_x, out_h = xs, hs
+                if keep_frames is not None:
+                    chain = np.asarray(ch)
+            else:
+                take = pending & ~nan
+                out_x[take] = xs[take]
+                out_h[take] = hs[take]
+                if keep_frames is not None:
+                    chain[:, take] = np.asarray(ch)[:, take]
+            pending = pending & nan
+            if not pending.any():
+                break
+            n_retries += 1
+            kchain = jax.random.fold_in(kchain, attempt + 1)
+
+        if recenter_output:
+            # un-centre by the (removed) fragment CoM so outputs sit in the
+            # input frame (generate.py:167-171)
+            out_x = out_x + np.asarray(com) * np.asarray(node_mask)
+
+        result = {
+            'positions': out_x, 'one_hot': out_h,
+            'node_mask': np.asarray(node_mask),
+            'linker_mask': np.asarray(linker_mask),
+            'fragment_mask': np.asarray(fragment_mask),
+            'nan_flag': pending, 'num_retries': n_retries,
+            'linker_sizes': sizes,
+        }
+        if 'pocket_mask' in template:
+            result['pocket_mask'] = np.asarray(template['pocket_mask'])
+        if 'uuid' in template:
+            result['uuid'] = template['uuid']
+        if 'name' in template:
+            result['name'] = template['name']
+        if keep_frames is not None:
+            result['chain'] = chain
+        return result
+
+    def sample_n(self, batch: Dict, key, n_samples: int, **kw):
+        """n independent samplings of the same inputs (sample.py:126-164)."""
+        outs = []
+        for i in range(n_samples):
+            outs.append(self.sample(batch, jax.random.fold_in(key, i), **kw))
+        return outs

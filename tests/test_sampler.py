@@ -1,0 +1,82 @@
+"""Sampler API: size specs, templates, retry machinery, output invariants."""
+import numpy as np
+import jax
+import pytest
+
+from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                   ExperimentConfig, ModelConfig, TrainConfig)
+from difflinker_tpu.data.datasets import synthetic_dataset
+from difflinker_tpu.diffusion.edm import make_edm
+from difflinker_tpu.sample.sampler import LinkerSampler, resolve_linker_sizes
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=10),
+        data=DataConfig(),
+        train=TrainConfig(batch_size=4),
+    )
+    edm = make_edm(cfg.model, cfg.diffusion)
+    params = edm.init_params(jax.random.PRNGKey(0))
+    ds = synthetic_dataset(4, seed=0)
+    batch = next(ds.iter_batches(4, group_by_bucket=False))
+    return cfg, params, edm, batch
+
+
+def test_size_specs(setup):
+    _, _, _, batch = setup
+    key = jax.random.PRNGKey(0)
+    gt = resolve_linker_sizes('ground_truth', batch, key)
+    assert (gt == batch['linker_mask'][..., 0].sum(-1)).all()
+    assert (resolve_linker_sizes(7, batch, key) == 7).all()
+    rng_sizes = resolve_linker_sizes((4, 9), batch, key)
+    assert ((rng_sizes >= 4) & (rng_sizes <= 9)).all()
+    prior = resolve_linker_sizes('prior', batch, key)
+    assert ((prior >= 3) & (prior <= 12)).all()
+    fn_sizes = resolve_linker_sizes(lambda b: [5] * 4, batch, key)
+    assert (fn_sizes == 5).all()
+
+
+def test_sample_with_new_sizes(setup):
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm)
+    out = sampler.sample(batch, jax.random.PRNGKey(1), size_spec=6)
+    assert not out['nan_flag'].any()
+    # every sample: n_frag fragment atoms + 6 linker atoms
+    n_frag = batch['fragment_mask'][..., 0].sum(-1)
+    assert (out['node_mask'][..., 0].sum(-1) == n_frag + 6).all()
+    assert (out['linker_mask'][..., 0].sum(-1) == 6).all()
+    # one-hot decode
+    s = out['one_hot'].sum(-1)
+    assert set(np.unique(s)) <= {0.0, 1.0}
+    # fragment atoms keep their identities
+    fm = out['fragment_mask'][..., 0].astype(bool)
+    n_keep = int(batch['fragment_mask'].sum())
+    orig = batch['one_hot'][batch['fragment_mask'][..., 0].astype(bool)]
+    new = out['one_hot'][fm]
+    np.testing.assert_array_equal(new, orig)
+
+
+def test_sample_chain_frames(setup):
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm)
+    out = sampler.sample(batch, jax.random.PRNGKey(2), size_spec=5,
+                         keep_frames=5)
+    assert out['chain'].shape[0] == 5
+    # final frame equals the decoded output
+    final = np.concatenate([out['positions'], out['one_hot']], -1)
+    np.testing.assert_allclose(out['chain'][0], final, atol=1e-5)
+
+
+def test_sample_n(setup):
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm)
+    outs = sampler.sample_n(batch, jax.random.PRNGKey(3), 3, size_spec=4)
+    assert len(outs) == 3
+    # different keys -> different linkers
+    a = outs[0]['positions'][outs[0]['linker_mask'][..., 0].astype(bool)]
+    b = outs[1]['positions'][outs[1]['linker_mask'][..., 0].astype(bool)]
+    assert np.abs(a - b).max() > 1e-3
