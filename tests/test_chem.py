@@ -1,0 +1,162 @@
+"""Chemistry stack: bond-perception parity with the reference tables, MolGraph
+predicates, canonical hashing, metrics aggregation, xyz/sdf IO."""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, '/root/reference')
+
+# rdkit stub so the reference's const/molecule_builder import (bond enums only)
+if 'rdkit' not in sys.modules:
+    rdkit = types.ModuleType('rdkit')
+    chem_mod = types.ModuleType('rdkit.Chem')
+    chem_mod.rdchem = types.SimpleNamespace(BondType=types.SimpleNamespace(
+        SINGLE=1, DOUBLE=2, TRIPLE=3, AROMATIC=4))
+    chem_mod.SDMolSupplier = None
+    rdkit.Chem = chem_mod
+    geom_mod = types.ModuleType('rdkit.Geometry')
+    geom_mod.Point3D = None
+    rdkit.Geometry = geom_mod
+    sys.modules['rdkit'] = rdkit
+    sys.modules['rdkit.Chem'] = chem_mod
+    sys.modules['rdkit.Geometry'] = geom_mod
+
+from src.molecule_builder import get_bond_order  # noqa: E402
+
+from difflinker_tpu import constants  # noqa: E402
+from difflinker_tpu.chem.bonds import bond_order_matrix  # noqa: E402
+from difflinker_tpu.chem.molgraph import MolGraph, build_molecule, build_molecules  # noqa: E402
+from difflinker_tpu.chem import metrics  # noqa: E402
+from difflinker_tpu.io import xyz as xyz_io  # noqa: E402
+
+
+def test_bond_order_parity_with_reference(rng):
+    """Vectorised table lookup == reference nested-dict scalar path, across
+    the full distance sweep and every GEOM atom-type pair."""
+    n_types = constants.GEOM_NUMBER_OF_ATOM_TYPES
+    dists = np.linspace(0.5, 3.0, 26)  # Angstrom
+    for ti in range(n_types):
+        for tj in range(n_types):
+            for d in dists:
+                pos = np.asarray([[0, 0, 0], [d, 0, 0]], np.float64)
+                got = bond_order_matrix(pos, np.asarray([ti, tj]))[0, 1]
+                pair = sorted([ti, tj])
+                a1 = constants.GEOM_IDX2ATOM[pair[0]]
+                a2 = constants.GEOM_IDX2ATOM[pair[1]]
+                ref = get_bond_order(a1, a2, d)
+                assert got == ref, (a1, a2, d, got, ref)
+
+
+def _ethane_like():
+    # C-C single bond at 1.5 A, plus a distant O
+    pos = np.asarray([[0, 0, 0], [1.5, 0, 0], [8, 0, 0]], np.float32)
+    types = np.asarray([0, 0, 1])
+    return build_molecule(pos, types)
+
+
+def test_molgraph_predicates():
+    m = _ethane_like()
+    assert m.bonds[0, 1] == 1 and m.bonds[1, 0] == 1
+    assert not m.is_connected()  # O is disconnected
+    big = m.largest_component()
+    assert big.n_atoms == 2 and big.is_connected()
+    assert big.is_valid()
+
+
+def test_wl_hash_isomorphism_invariance(rng):
+    pos = rng.standard_normal((6, 3)).astype(np.float32)
+    types = np.asarray([0, 0, 1, 2, 0, 4])
+    m = build_molecule(pos, types)
+    perm = rng.permutation(6)
+    m2 = m.subgraph(perm)
+    assert m.wl_hash() == m2.wl_hash()
+    # different molecule -> different hash
+    m3 = build_molecule(pos, np.asarray([0, 0, 1, 2, 0, 5]))
+    assert m.wl_hash() != m3.wl_hash()
+
+
+def test_compute_metrics_native():
+    good = _ethane_like().largest_component()
+    bad = _ethane_like()  # disconnected
+    res = metrics.compute_metrics([good, bad, good], [good, good, good])
+    assert res['validity'] > 0
+    assert 0 <= res['validity_and_connectivity'] <= 1
+    assert res['uniqueness'] == 0.5  # two identical among the 2 connected
+    empty = metrics.compute_metrics([], [])
+    assert empty['validity'] == 0
+
+
+def test_xyz_writer_matches_reference_format(tmp_path, rng):
+    B, N, nf = 2, 5, 8
+    one_hot = np.eye(nf, dtype=np.float32)[rng.integers(0, nf, (B, N))]
+    positions = rng.standard_normal((B, N, 3)).astype(np.float32)
+    node_mask = np.ones((B, N, 1), np.float32)
+    node_mask[1, 3:] = 0
+    paths = xyz_io.save_xyz_file(str(tmp_path), one_hot, positions, node_mask,
+                                 names=['a', 'b'], is_geom=False, suffix='s')
+    txt = open(paths[1]).read().splitlines()
+    assert txt[0] == '3'
+    assert txt[1] == ''
+    assert len(txt) == 2 + 3
+    sym, x, y, z = txt[2].split()
+    assert sym in constants.ATOM2IDX
+    assert len(x.split('.')[-1]) == 9  # 9 decimals like the reference
+
+    # round-trip
+    pos, oh, _ = xyz_io.load_molecule_xyz(paths[0], is_geom=False)
+    np.testing.assert_allclose(pos, positions[0], atol=1e-6)
+    np.testing.assert_array_equal(oh, one_hot[0])
+
+
+def test_sdf_roundtrip(tmp_path):
+    m = _ethane_like()
+    p = str(tmp_path / 'm.sdf')
+    xyz_io.write_sdf([m, m.largest_component()], p)
+    from difflinker_tpu.chem.io_rdkit import _read_sdf_native
+    back = list(_read_sdf_native(p))
+    assert len(back) == 2
+    np.testing.assert_allclose(back[0].positions, m.positions, atol=1e-3)
+    np.testing.assert_array_equal(back[0].bonds, m.bonds)
+    np.testing.assert_array_equal(back[0].atom_types, m.atom_types)
+
+
+def test_xyz_to_sdf_native(tmp_path):
+    m = _ethane_like()
+    xp = str(tmp_path / 'm_.xyz')
+    xyz_io.save_xyz_file(str(tmp_path),
+                         np.eye(8, dtype=np.float32)[m.atom_types][None],
+                         m.positions[None], np.ones((1, 3, 1)),
+                         names=['m'], is_geom=False)
+    mode = xyz_io.xyz_to_sdf(xp, str(tmp_path / 'm.sdf'))
+    assert mode == 'native'  # no obabel in this image
+    from difflinker_tpu.chem.io_rdkit import _read_sdf_native
+    back = list(_read_sdf_native(str(tmp_path / 'm.sdf')))[0]
+    assert back.bonds[0, 1] == 1
+
+
+def test_build_molecules_batch(rng):
+    B, N, nf = 3, 10, 8
+    one_hot = np.eye(nf, dtype=np.float32)[rng.integers(0, nf, (B, N))]
+    positions = rng.standard_normal((B, N, 3)).astype(np.float32) * 3
+    node_mask = np.zeros((B, N, 1), np.float32)
+    node_mask[:, :7] = 1
+    mols = build_molecules(one_hot, positions, node_mask)
+    assert len(mols) == B
+    assert all(m.n_atoms == 7 for m in mols)
+
+
+def test_delinker_native_fallback():
+    from difflinker_tpu.chem.delinker import get_delinker_metrics
+    good = _ethane_like().largest_component()
+    frag = good.subgraph(np.asarray([0]))
+    res = get_delinker_metrics([good], [good], [frag])
+    assert set(res.keys()) == {
+        'DeLinker/validity', 'DeLinker/uniqueness', 'DeLinker/novelty',
+        'DeLinker/recovery', 'DeLinker/2D_filters', 'DeLinker/2D_filters_SA',
+        'DeLinker/2D_filters_RA', 'DeLinker/2D_filters_PAINS',
+        'DeLinker/SC_RDKit'}
+    assert res['DeLinker/validity'] == 1.0
+    assert res['DeLinker/recovery'] == 1.0
