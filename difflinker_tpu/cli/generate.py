@@ -1,0 +1,114 @@
+"""User-facing linker generation from a fragment file.
+
+Port of generate.py: read fragments (sdf/mol/xyz; +pdb/mol2 with RDKit),
+replicate n_samples times, sample linkers (polymorphic --linker-size:
+int, 'lo,hi' range, 'prior', or a size-classifier checkpoint), un-center into
+the input frame, write xyz + sdf (obabel when installed, else native bond
+perception).
+
+    python -m difflinker_tpu.cli.generate --fragments frags.sdf \
+        --run RUN_DIR | --ckpt reference.ckpt \
+        --linker-size 5 --n-samples 8 --out out/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from difflinker_tpu.cli import common
+from difflinker_tpu.cli.sample import load_model, parse_size_spec
+from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
+from difflinker_tpu.data.collate import collate
+from difflinker_tpu.io.xyz import save_xyz_file, xyz_to_sdf
+from difflinker_tpu.sample.sampler import LinkerSampler
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--fragments', type=str, required=True)
+    p.add_argument('--run', type=str)
+    p.add_argument('--ckpt', type=str)
+    p.add_argument('--linker-size', type=str, default='prior')
+    p.add_argument('--size-model', type=str, default=None,
+                   help='SizeClassifier .ckpt for learned size prediction')
+    p.add_argument('--n-samples', type=int, default=5)
+    p.add_argument('--steps', type=int, default=None)
+    p.add_argument('--anchors', type=str, default=None,
+                   help='comma-separated anchor atom indices (1-based)')
+    p.add_argument('--out', type=str, default='output')
+    p.add_argument('--seed', type=int, default=0)
+    return p
+
+
+def fragment_sample_dict(args, is_geom):
+    mol = read_molecule(args.fragments)
+    positions, one_hot, charges = parse_molecule(mol, is_geom=is_geom)
+    positions = positions - positions.mean(0, keepdims=True)
+    n = len(charges)
+    anchor_flags = np.zeros(n, np.float32)
+    if args.anchors:
+        for a in args.anchors.split(','):
+            anchor_flags[int(a) - 1] = 1
+    name = os.path.splitext(os.path.basename(args.fragments))[0]
+    return {
+        'uuid': 0, 'name': name,
+        'positions': positions.astype(np.float32),
+        'one_hot': one_hot.astype(np.float32),
+        'charges': charges.astype(np.float32),
+        'anchors': anchor_flags,
+        'fragment_mask': np.ones(n, np.float32),
+        'linker_mask': np.zeros(n, np.float32),
+        'num_atoms': n,
+    }
+
+
+def resolve_size_spec(args, cfg):
+    if args.size_model:
+        from difflinker_tpu.io.lightning_import import load_size_checkpoint
+        from difflinker_tpu.models.size_gnn import SizePredictor
+        hp, params, state = load_size_checkpoint(args.size_model)
+        predictor = SizePredictor(
+            in_node_nf=hp['in_node_nf'], hidden_nf=hp['hidden_nf'],
+            out_node_nf=hp['out_node_nf'], n_layers=hp['n_layers'],
+            task=hp.get('task', 'classification'))
+        return lambda batch: predictor.predict_sizes(params, batch, state)
+    return parse_size_spec(args.linker_size)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg, params = load_model(args)
+    if args.steps:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(cfg.diffusion,
+                                               timesteps=args.steps))
+    is_geom = cfg.data.is_geom
+    sample = fragment_sample_dict(args, is_geom)
+    batch = collate([dict(sample) for _ in range(args.n_samples)])
+
+    sampler = LinkerSampler(cfg, params)
+    out = sampler.sample(batch, jax.random.PRNGKey(args.seed),
+                         size_spec=resolve_size_spec(args, cfg),
+                         recenter_output=True)
+    if out['nan_flag'].any():
+        common.log(f'warning: {int(out["nan_flag"].sum())} samples still NaN '
+                   f'after retries — skipped')
+
+    os.makedirs(args.out, exist_ok=True)
+    names = [f'{sample["name"]}_{i}' for i in range(args.n_samples)]
+    paths = save_xyz_file(args.out, out['one_hot'], out['positions'],
+                          out['node_mask'], names=names, is_geom=is_geom)
+    for p in paths:
+        mode = xyz_to_sdf(p, p[:-4] + '.sdf')
+    common.log(f'wrote {len(paths)} molecules to {args.out} '
+               f'(sdf conversion: {mode})')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Pocket-conditioned generation from fragments + a full protein PDB.
+
+Port of generate_with_protein.py: extract the 6A-contact-residue pocket from
+the protein (native PDB parser — no BioPython needed), assemble the
+[fragment | pocket | linker] sample layout, and sample with a pocket model.
+
+    python -m difflinker_tpu.cli.generate_with_protein \
+        --fragments frags.sdf --protein protein.pdb \
+        --run RUN_DIR | --ckpt pockets_difflinker.ckpt \
+        --linker-size 5 --n-samples 4 [--backbone] --out out/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from difflinker_tpu.cli import common
+from difflinker_tpu.cli.generate import resolve_size_spec
+from difflinker_tpu.cli.sample import load_model, parse_size_spec
+from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
+from difflinker_tpu.chem.pdb import extract_pocket, read_pocket_pdb
+from difflinker_tpu.data.collate import collate
+from difflinker_tpu.io.xyz import save_xyz_file, xyz_to_sdf
+from difflinker_tpu.sample.sampler import LinkerSampler
+
+
+def build_argparser(pocket_is_precut: bool = False):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--fragments', type=str, required=True)
+    if pocket_is_precut:
+        p.add_argument('--pocket', type=str, required=True,
+                       help='pre-cut pocket PDB')
+    else:
+        p.add_argument('--protein', type=str, required=True,
+                       help='full protein PDB; pocket extracted at 6A')
+    p.add_argument('--run', type=str)
+    p.add_argument('--ckpt', type=str)
+    p.add_argument('--backbone', action='store_true',
+                   help='keep only N/CA/C/O pocket atoms')
+    p.add_argument('--linker-size', type=str, default='prior')
+    p.add_argument('--size-model', type=str, default=None)
+    p.add_argument('--n-samples', type=int, default=5)
+    p.add_argument('--steps', type=int, default=None)
+    p.add_argument('--anchors', type=str, default=None)
+    p.add_argument('--out', type=str, default='output')
+    p.add_argument('--seed', type=int, default=0)
+    return p
+
+
+def build_pocket_sample(args, is_precut: bool):
+    mol = read_molecule(args.fragments)
+    frag_pos, frag_oh, frag_q = parse_molecule(mol, is_geom=True)
+    if is_precut:
+        pk_pos, pk_oh, pk_q = read_pocket_pdb(args.pocket, args.backbone)
+    else:
+        pk_pos, pk_oh, pk_q = extract_pocket(frag_pos, args.protein,
+                                             args.backbone)
+    common.log(f'fragments: {len(frag_q)} atoms; pocket: {len(pk_q)} atoms')
+
+    positions = np.concatenate([frag_pos, pk_pos], axis=0)
+    center = frag_pos.mean(0, keepdims=True)
+    positions = positions - center
+    one_hot = np.concatenate([frag_oh, pk_oh], axis=0)
+    charges = np.concatenate([frag_q, pk_q], axis=0)
+    n_frag, n = len(frag_q), len(charges)
+
+    anchors = np.zeros(n, np.float32)
+    if args.anchors:
+        for a in args.anchors.split(','):
+            anchors[int(a) - 1] = 1
+
+    def seg(lo, hi):
+        m = np.zeros(n, np.float32)
+        m[lo:hi] = 1
+        return m
+
+    name = os.path.splitext(os.path.basename(args.fragments))[0]
+    return {
+        'uuid': 0, 'name': name,
+        'positions': positions.astype(np.float32), 'one_hot': one_hot,
+        'charges': charges, 'anchors': anchors,
+        'fragment_only_mask': seg(0, n_frag),
+        'pocket_mask': seg(n_frag, n),
+        'fragment_mask': seg(0, n),
+        'linker_mask': np.zeros(n, np.float32),
+        'num_atoms': n,
+    }, center
+
+
+def run(args, pocket_is_precut: bool):
+    from difflinker_tpu.config import CenterOfMass
+    cfg, params = load_model(args)
+    assert cfg.data.has_pocket or cfg.model.context_node_nf == 3, \
+        'this model was not trained with pocket conditioning'
+    if cfg.train.center_of_mass == CenterOfMass.ANCHORS and not args.anchors:
+        # reference refuses the same way (generate_with_protein.py:198-201)
+        raise SystemExit(
+            'this model centers on anchor atoms: pass --anchors i,j '
+            '(1-based fragment atom indices) or use a model that does not '
+            'require anchor information')
+    if args.steps:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(cfg.diffusion,
+                                               timesteps=args.steps))
+    sample, center = build_pocket_sample(args, pocket_is_precut)
+    batch = collate([dict(sample) for _ in range(args.n_samples)])
+
+    sampler = LinkerSampler(cfg, params)
+    out = sampler.sample(batch, jax.random.PRNGKey(args.seed),
+                         size_spec=resolve_size_spec(args, cfg),
+                         recenter_output=True)
+    if out['nan_flag'].any():
+        common.log(f'warning: {int(out["nan_flag"].sum())} samples NaN after '
+                   f'retries')
+
+    os.makedirs(args.out, exist_ok=True)
+    # save without the pocket (sample.py:141-164 convention)
+    node_mask = out['node_mask'] - out['pocket_mask']
+    positions = out['positions'] + center  # back to protein frame
+    names = [f'{sample["name"]}_{i}' for i in range(args.n_samples)]
+    paths = save_xyz_file(args.out, out['one_hot'], positions, node_mask,
+                          names=names, is_geom=True)
+    for p in paths:
+        xyz_to_sdf(p, p[:-4] + '.sdf')
+    common.log(f'wrote {len(paths)} pocket-conditioned molecules to {args.out}')
+    return 0
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    return run(args, pocket_is_precut=False)
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Train the linker-diffusion model.
+
+TPU-native counterpart of train_difflinker.py: YAML config (reference format
+accepted), bucketed data pipeline, one jitted DP train step, orbax
+checkpoints every epoch, periodic sampling evaluation, resume from the latest
+checkpoint.
+
+    python -m difflinker_tpu.cli.train --config configs/zinc_difflinker.yml \
+        [--epochs N] [--mesh N] [--resume RUN_DIR] [--synthetic N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from difflinker_tpu.cli import common
+from difflinker_tpu.config import load_config
+from difflinker_tpu.data.datasets import LinkerDataset, synthetic_dataset
+from difflinker_tpu.io import checkpoints as ckpt_lib
+from difflinker_tpu.parallel import mesh as mesh_lib
+from difflinker_tpu.sample.sampler import LinkerSampler
+from difflinker_tpu.train.evaluation import sample_and_analyze
+from difflinker_tpu.train.trainer import Trainer
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_config_arg(p)
+    p.add_argument('--epochs', type=int, default=None, help='override n_epochs')
+    p.add_argument('--mesh', type=int, default=None,
+                   help='data-parallel devices (default: all)')
+    p.add_argument('--resume', type=str, default=None,
+                   help='run dir to resume from')
+    p.add_argument('--synthetic', type=int, default=None,
+                   help='use N synthetic molecules instead of disk data '
+                        '(smoke testing)')
+    p.add_argument('--eval-every', type=int, default=None,
+                   help='override test_epochs')
+    p.add_argument('--no-sampling-eval', action='store_true')
+    p.add_argument('--logs', type=str, default='logs')
+    return p
+
+
+def load_datasets(cfg, synthetic):
+    if synthetic:
+        pocket_range = (5, 12) if cfg.data.has_pocket else None
+        return (synthetic_dataset(synthetic, seed=0, is_geom=cfg.data.is_geom,
+                                  pocket_range=pocket_range),
+                synthetic_dataset(max(synthetic // 8, 4), seed=1,
+                                  is_geom=cfg.data.is_geom,
+                                  pocket_range=pocket_range))
+    train = LinkerDataset.from_pt(cfg.data.data_path, cfg.data.train_prefix)
+    val = LinkerDataset.from_pt(cfg.data.data_path, cfg.data.val_prefix)
+    return train, val
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.resume:
+        cfg = ckpt_lib.load_config(args.resume)
+        run_dir = args.resume
+        run_id = os.path.basename(run_dir.rstrip('/'))
+    else:
+        assert args.config, '--config or --resume required'
+        cfg = load_config(args.config)
+        run_id, log_dir, run_dir = common.setup_run_dirs(
+            args.logs, cfg.train.checkpoints_dir, cfg.exp_name)
+        ckpt_lib.save_config(cfg, run_dir)
+    sys.stdout = common.Logger(os.path.join(args.logs, 'general_logs',
+                                            run_id, 'log.log'))
+    common.log(f'run {run_id}; backend={jax.default_backend()}')
+
+    n_epochs = args.epochs or cfg.train.n_epochs
+    eval_every = args.eval_every or cfg.train.test_epochs
+
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        mesh = mesh_lib.make_mesh(args.mesh)
+    trainer = Trainer(cfg, mesh=mesh)
+    mgr = ckpt_lib.CheckpointManager(run_dir)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state = trainer.init_state(key)
+    start_epoch = 0
+    latest = mgr.latest_step()
+    if latest is not None:
+        state = mgr.restore(state, latest)
+        start_epoch = int(latest)
+        common.log(f'resumed from epoch {start_epoch}')
+
+    train_ds, val_ds = load_datasets(cfg, args.synthetic)
+    common.log(f'train={len(train_ds)} val={len(val_ds)} '
+               f'batch={cfg.train.batch_size}')
+
+    history = {}
+    for epoch in range(start_epoch, n_epochs):
+        t0 = time.time()
+        key, ktrain, keval, ksample = jax.random.split(key, 4)
+        batches = train_ds.iter_batches(cfg.train.batch_size, shuffle=True,
+                                        seed=epoch)
+        state, train_metrics = trainer.fit_epoch(
+            state, batches, ktrain, log_every=cfg.train.log_iterations)
+        val_metrics = trainer.evaluate(
+            state, val_ds.iter_batches(cfg.train.batch_size), keval)
+        dt = time.time() - t0
+        for k, v in train_metrics.items():
+            history.setdefault(f'{k}/train', []).append(v)
+        for k, v in val_metrics.items():
+            history.setdefault(f'{k}/val', []).append(v)
+        common.log(f'epoch {epoch}: loss/train={train_metrics["loss"]:.4f} '
+                   f'loss/val={val_metrics["loss"]:.4f} ({dt:.1f}s)')
+
+        if not args.no_sampling_eval and (epoch + 1) % eval_every == 0:
+            sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+            sampling = sample_and_analyze(
+                sampler, val_ds.iter_batches(cfg.train.batch_size), ksample,
+                n_samples=cfg.train.n_stability_samples,
+                is_geom=cfg.data.is_geom)
+            for k, v in sampling.items():
+                history.setdefault(f'{k}/val', []).append(v)
+            common.log('sampling eval: ' + json.dumps(
+                {k: round(float(v), 4) for k, v in sampling.items()}))
+
+        mgr.save(epoch + 1, state,
+                 metrics={'loss_val': val_metrics['loss']})
+        with open(os.path.join(run_dir, 'history.json'), 'w') as f:
+            json.dump(history, f)
+    common.log('training done')
+    mgr.close()
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

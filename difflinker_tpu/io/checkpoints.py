@@ -1,0 +1,114 @@
+"""Native checkpointing (Orbax) + run resumption.
+
+Replaces Lightning's ModelCheckpoint / find_last_checkpoint
+(train_difflinker.py:15-22,96-119): every-epoch step checkpoints with the
+experiment config stored alongside, so `load_run(dir)` reconstructs the full
+trainer the way `DDPM.load_from_checkpoint` does.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _cfg_to_jsonable(obj):
+    if dataclasses.is_dataclass(obj):
+        return {k: _cfg_to_jsonable(v)
+                for k, v in dataclasses.asdict(obj).items()}
+    if isinstance(obj, enum.Enum):
+        return obj.value
+    if isinstance(obj, (list, tuple)):
+        return [_cfg_to_jsonable(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _cfg_to_jsonable(v) for k, v in obj.items()}
+    return obj
+
+
+def save_config(cfg, run_dir: str) -> None:
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, 'config.json'), 'w') as f:
+        json.dump(_cfg_to_jsonable(cfg), f, indent=2, default=str)
+
+
+def load_config(run_dir: str):
+    from difflinker_tpu.config import (CenterOfMass, DataConfig,
+                                       DatasetFamily, DiffusionConfig,
+                                       ExperimentConfig, GraphType,
+                                       ModelConfig, PocketMode, TrainConfig)
+    with open(os.path.join(run_dir, 'config.json')) as f:
+        raw = json.load(f)
+    m = dict(raw['model'])
+    m['graph_type'] = GraphType(m['graph_type'])
+    d = dict(raw['data'])
+    d['family'] = DatasetFamily(d['family'])
+    d['pocket_mode'] = PocketMode(d['pocket_mode'])
+    t = dict(raw['train'])
+    t['center_of_mass'] = CenterOfMass(t['center_of_mass'])
+    t['mesh_shape'] = tuple(t.get('mesh_shape', (1,)))
+    t['mesh_axes'] = tuple(t.get('mesh_axes', ('data',)))
+    df = dict(raw['diffusion'])
+    df['norm_values'] = tuple(df['norm_values'])
+    df['norm_biases'] = tuple(None if v in (None, 'None') else v
+                              for v in df['norm_biases'])
+    return ExperimentConfig(exp_name=raw['exp_name'],
+                            model=ModelConfig(**m), diffusion=DiffusionConfig(**df),
+                            data=DataConfig(**d), train=TrainConfig(**t))
+
+
+class CheckpointManager:
+    """Thin orbax wrapper keyed by integer step; keeps every checkpoint
+    (reference keeps every epoch: save_top_k=-1, train_difflinker.py:96-101)."""
+
+    def __init__(self, run_dir: str, max_to_keep: Optional[int] = None):
+        import orbax.checkpoint as ocp
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.run_dir, 'checkpoints'),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, step: int, state: Dict, metrics: Optional[Dict] = None):
+        import orbax.checkpoint as ocp
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics={k: float(v) for k, v in (metrics or {}).items()})
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: Dict, step: Optional[int] = None) -> Dict:
+        import orbax.checkpoint as ocp
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints under {self.run_dir}')
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like))
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params_npz(params: Dict, path: str) -> None:
+    """Flat-npz export of a param pytree (portable, torch-free)."""
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = '/'.join(str(getattr(k, 'key', getattr(k, 'idx', k)))
+                        for k in keypath)
+        flat[name] = np.asarray(leaf)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str, params_like: Dict) -> Dict:
+    z = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params_like)
+    names = ['/'.join(str(getattr(k, 'key', getattr(k, 'idx', k)))
+                      for k in kp) for kp, _ in leaves]
+    new_leaves = [z[n] for n in names]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_like), new_leaves)

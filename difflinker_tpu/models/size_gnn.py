@@ -125,6 +125,22 @@ def size_labels(linker_mask, size2id: Dict[int, int], id2size) -> np.ndarray:
     return np.asarray([size2id.get(int(s), fallback) for s in sizes], np.int32)
 
 
+def _size_label_table(size2id: Dict[int, int], id2size) -> np.ndarray:
+    """Dense size→class-id table (fallback = max-size class) so label lookup
+    is jit-safe."""
+    max_size = max(id2size)
+    table = np.full(max_size + 2, size2id[max_size], np.int32)
+    for s, i in size2id.items():
+        table[s] = i
+    return table
+
+
+def size_labels_jax(linker_mask, size2id: Dict[int, int], id2size) -> jnp.ndarray:
+    table = jnp.asarray(_size_label_table(size2id, id2size))
+    sizes = jnp.sum(jnp.asarray(linker_mask)[..., 0], axis=-1).astype(jnp.int32)
+    return table[jnp.clip(sizes, 0, table.shape[0] - 1)]
+
+
 def classifier_loss(logits, labels, class_weights=None):
     """Weighted cross-entropy matching torch's `cross_entropy(weight=...)`
     semantics (weighted mean)."""
@@ -188,8 +204,8 @@ class SizePredictor:
 
     def loss(self, params, batch, state=None, train=False):
         out, new_state = self.forward(params, batch, state, train)
-        labels = jnp.asarray(size_labels(batch['linker_mask'], self.size2id,
-                                         self.id2size))
+        labels = size_labels_jax(batch['linker_mask'], self.size2id,
+                                 self.id2size)
         if self.task == 'classification':
             loss = classifier_loss(out, labels, self.class_weights)
         elif self.task == 'ordinal':

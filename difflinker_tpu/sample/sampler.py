@@ -123,9 +123,10 @@ class LinkerSampler:
             nan = np.asarray(nan)
             xs, hs = np.asarray(xs), np.asarray(hs)
             if out_x is None:
-                out_x, out_h = xs, hs
+                # copies: jax->numpy views are read-only, retries write in place
+                out_x, out_h = np.array(xs), np.array(hs)
                 if keep_frames is not None:
-                    chain = np.asarray(ch)
+                    chain = np.array(ch)
             else:
                 take = pending & ~nan
                 out_x[take] = xs[take]
