@@ -35,8 +35,12 @@ def main():
     from difflinker_tpu.diffusion.edm import make_edm
     from difflinker_tpu.ops.geometry import fc_edge_mask
 
+    # bf16-mixed: invariant-feature MLPs on the MXU in bf16, all geometry /
+    # coordinates / diffusion algebra float32 (0.7% per-forward rel err vs
+    # fp32; parity tests cover fp32 — see BASELINE.md)
     mcfg = ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=128,
-                       n_layers=8, inv_sublayers=2, norm_constant=1e-6)
+                       n_layers=8, inv_sublayers=2, norm_constant=1e-6,
+                       dtype='bfloat16')
     dcfg = DiffusionConfig(timesteps=T)
     edm = make_edm(mcfg, dcfg)
     params = edm.init_params(jax.random.PRNGKey(0))

@@ -62,8 +62,9 @@ class ModelConfig:
     normalization: Optional[str] = None  # None | 'batch_norm' (GNN ablation only)
     centering: bool = False           # inpainting: recentre predicted velocity
     graph_type: GraphType = GraphType.FC
-    # numerics
+    # numerics / kernels
     dtype: str = 'float32'            # compute dtype: 'float32' | 'bfloat16'
+    kernel_impl: str = 'xla'          # 'xla' | 'pallas' (fused inference kernels)
 
     @property
     def edge_feat_nf(self) -> int:

@@ -103,9 +103,17 @@ def dynamics_apply(
             cfg.graph_type.value)
 
     if cfg.model == 'egnn_dynamics':
-        h_final, x_final = egnn_lib.egnn_apply(
-            params['egnn'], h, x, node_mask, linker_mask, edge_mask,
-            cfg=cfg, remat=remat, mean_count_static=mean_count_static)
+        use_pallas = (cfg.kernel_impl == 'pallas' and not cfg.sin_embedding
+                      and cfg.aggregation_method == 'sum')
+        if use_pallas:
+            from difflinker_tpu.ops.egnn_pallas import egnn_apply_pallas
+            h_final, x_final = egnn_apply_pallas(
+                params['egnn'], h, x, node_mask, linker_mask, edge_mask,
+                cfg=cfg)
+        else:
+            h_final, x_final = egnn_lib.egnn_apply(
+                params['egnn'], h, x, node_mask, linker_mask, edge_mask,
+                cfg=cfg, remat=remat, mean_count_static=mean_count_static)
         vel = (x_final - x) * node_mask
     elif cfg.model == 'gnn_dynamics':
         # The reference GNN-ablation path passes no edge mask at all

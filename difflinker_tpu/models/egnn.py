@@ -200,13 +200,21 @@ def block_apply(p, h, x, dist0, node_mask, linker_mask, edge_mask, *, cfg, act,
                 mean_count_static=True):
     """One EquivariantBlock: recompute distances from the current coords,
     concat with the block-input distance feature, run inv_sublayers GCLs then
-    one coordinate update (src/egnn.py:157-178)."""
+    one coordinate update (src/egnn.py:157-178).
+
+    Mixed precision: geometry (x, d², cdiff, coordinate aggregation) is always
+    float32; with cfg.dtype='bfloat16' the invariant-feature MLPs run in bf16
+    on the MXU (h and edge features carried in bf16, cast back at the
+    coordinate interface)."""
     d2, cdiff = coord2diff(x, cfg.norm_constant)
     feat = sinusoidal_distance_embedding(d2) if cfg.sin_embedding else d2
-    edge_attr = jnp.concatenate([feat, dist0], axis=-1)
+    edge_attr = jnp.concatenate([feat, dist0], axis=-1).astype(h.dtype)
+    if edge_mask is not None:
+        edge_mask = edge_mask.astype(h.dtype)
+    nm = None if node_mask is None else node_mask.astype(h.dtype)
     for gp in p['gcls']:
         h, _ = gcl_apply(
-            gp, h, edge_attr, node_mask, edge_mask,
+            gp, h, edge_attr, nm, edge_mask,
             act=act, normalization_factor=cfg.normalization_factor,
             aggregation_method=cfg.aggregation_method, attention=cfg.attention,
             mean_count_static=mean_count_static)
@@ -216,8 +224,8 @@ def block_apply(p, h, x, dist0, node_mask, linker_mask, edge_mask, *, cfg, act,
         aggregation_method=cfg.aggregation_method, tanh=cfg.tanh,
         coords_range=cfg.coords_range / cfg.n_layers,
         mean_count_static=mean_count_static)
-    if node_mask is not None:
-        h = h * node_mask
+    if nm is not None:
+        h = h * nm
     return h, x
 
 
@@ -250,6 +258,12 @@ def egnn_apply(p, h, x, node_mask, linker_mask, edge_mask, *, cfg,
     activations of at most one block are live at a time during backprop.
     """
     act = activation_fn(cfg.activation)
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if compute_dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+        h = h.astype(compute_dtype)
+    x = x.astype(jnp.float32)  # geometry stays fp32 regardless of cfg.dtype
+
     d2_0, _ = coord2diff(x)  # initial distance feature shared by all blocks
     dist0 = sinusoidal_distance_embedding(d2_0) if cfg.sin_embedding else d2_0
 
@@ -265,8 +279,8 @@ def egnn_apply(p, h, x, node_mask, linker_mask, edge_mask, *, cfg,
 
     h = linear(p['embedding_out'], h)
     if node_mask is not None:
-        h = h * node_mask
-    return h, x
+        h = h * node_mask.astype(h.dtype)
+    return h.astype(jnp.float32), x
 
 
 # ---------------------------------------------------------------------------
