@@ -20,7 +20,12 @@ def bond_order_matrix(positions: np.ndarray, atom_types: np.ndarray) -> np.ndarr
     ZINC vocab is a prefix, so ZINC indices work unchanged).
 
     Returns (N, N) int8 bond orders (0-3), symmetric, zero diagonal.
+    Dispatches to the C++ kernel (difflinker_tpu.native) when built; this
+    numpy path is the fallback and correctness oracle.
     """
+    from difflinker_tpu import native
+    if native.available() and len(atom_types):
+        return native.bond_orders(positions, atom_types)
     pos = np.asarray(positions, np.float64)
     t = np.asarray(atom_types, np.int64)
     diff = pos[:, None, :] - pos[None, :, :]
@@ -42,10 +47,13 @@ def bond_order_matrix(positions: np.ndarray, atom_types: np.ndarray) -> np.ndarr
 
 def connected_components(adj: np.ndarray) -> np.ndarray:
     """(N,) component labels from a boolean/integer adjacency matrix."""
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import connected_components as _cc
     n = adj.shape[0]
     if n == 0:
         return np.zeros(0, np.int32)
+    from difflinker_tpu import native
+    if native.available():
+        return native.connected_components(np.asarray(adj, np.int8))
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components as _cc
     _, labels = _cc(csr_matrix(adj > 0), directed=False)
     return labels.astype(np.int32)
