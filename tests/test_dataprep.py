@@ -1,0 +1,145 @@
+"""Data-prep pipelines: graph linker enumeration vs the reference's numpy
+logic, stratified split, and the native MOAD .bio1 cleaning path (the
+RDKit-bound steps are import-gated and exercised where possible)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, '/root/reference')
+
+from difflinker_tpu.dataprep import graphs, moad
+
+
+def _ref_linkers(neighbors, order):
+    """Reference implementations (pure numpy, no rdkit at call time —
+    imported from the module requires rdkit, so re-dispatch by path)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'ref_multifrag', '/root/reference/data/geom/generate_geom_multifrag.py')
+    # the module imports rdkit at top level; extract just the three functions
+    src = open('/root/reference/data/geom/generate_geom_multifrag.py').read()
+    ns = {'np': np}
+    import re as _re
+    import numpy as _np
+    blocks = src.split('\n\n\n')
+    wanted = [b for b in blocks if b.startswith('def generate_possible')]
+    exec('\n\n'.join(wanted), {'np': _np, 're': _re}, ns)
+    fn = {1: ns['generate_possible_connected_linkers'],
+          2: ns['generate_possible_2nd_order_linkers'],
+          3: ns['generate_possible_3nd_order_linkers']}[order]
+    return {tuple(int(v) for v in t) for t in fn(neighbors)}
+
+
+@pytest.mark.parametrize('order', [1, 2, 3])
+def test_linker_enumeration_matches_reference(rng, order):
+    ours_fn = {1: graphs.connected_linkers_order1,
+               2: graphs.linkers_order2,
+               3: graphs.linkers_order3}[order]
+    for trial in range(12):
+        n = int(rng.integers(3, 8))
+        adj = np.zeros((n, n), int)
+        # random connected-ish graph
+        for i in range(1, n):
+            j = int(rng.integers(0, i))
+            adj[i, j] = adj[j, i] = 1
+        extra = rng.integers(0, 2, (n, n))
+        adj = np.clip(adj + np.triu(extra, 1) + np.triu(extra, 1).T, 0, 1)
+        np.fill_diagonal(adj, 0)
+        ours = {tuple(int(v) for v in t) for t in ours_fn(adj.astype(float))}
+        ref = _ref_linkers(adj.astype(float), order)
+        assert ours == ref, (order, adj)
+
+
+def test_stratified_split():
+    keys = [(s, 1) for s in [3] * 50 + [5] * 30 + [8] * 20]
+    split = graphs.stratified_split(keys, n_val=10, n_test=10, seed=0)
+    assert len(split['val']) == 10 and len(split['test']) == 10
+    all_idx = np.concatenate([split['train'], split['val'], split['test']])
+    assert len(set(all_idx.tolist())) == 100
+    # stratification: each bucket roughly proportional in val
+    val_keys = [keys[i][0] for i in split['val']]
+    assert val_keys.count(3) >= 3
+
+
+BIO1 = """\
+MODEL        1
+ATOM      1  N   ALA A   1      10.000  10.000  10.000  1.00  0.00           N
+ATOM      2  CA  ALA A   1      11.000  10.000  10.000  1.00  0.00           C
+ATOM      3  C   ALA A   1      12.000  10.000  10.000  1.00  0.00           C
+ATOM      4  O   ALA A   1      13.000  10.000  10.000  1.00  0.00           O
+ATOM      5  H   ALA A   1      13.500  10.000  10.000  1.00  0.00           H
+HETATM    6  O   HOH A 101      20.000  20.000  20.000  1.00  0.00           O
+{LIG}
+ENDMDL
+MODEL        2
+ATOM      7  N   GLY A   2      99.000  99.000  99.000  1.00  0.00           N
+ENDMDL
+"""
+
+
+def _ligand_hetatms(n, resname='LIG', start_serial=10):
+    lines = []
+    rng = np.random.default_rng(1)
+    for k in range(n):
+        x, y, z = 15 + 1.4 * k, 15.0, 15.0
+        lines.append(
+            f'HETATM{start_serial + k:5d}  C{k % 9 + 1:<2d} {resname} A 200    '
+            f'{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C')
+    return '\n'.join(lines)
+
+
+def test_moad_clean_and_split(tmp_path):
+    bio = str(tmp_path / '1abc.bio1')
+    with open(bio, 'w') as f:
+        f.write(BIO1.format(LIG=_ligand_hetatms(14)))
+    prot_dir, lig_dir = str(tmp_path / 'prot'), str(tmp_path / 'lig')
+    n_prot, n_lig = moad.clean_and_split(str(tmp_path), prot_dir, lig_dir)
+    assert n_prot == 1 and n_lig == 1
+
+    prot = open(os.path.join(prot_dir, '1abc_protein.pdb')).read()
+    assert ' H ' not in prot.split('\n')[0]
+    assert 'GLY' not in prot  # model 2 dropped
+    assert 'HOH' not in prot and 'HETATM' not in prot
+
+    from difflinker_tpu.chem.io_rdkit import _read_sdf_native
+    lig = list(_read_sdf_native(os.path.join(lig_dir, '1abc_0.mol')))[0]
+    assert lig.n_atoms == 14
+    assert lig.bonds.sum() > 0  # perceived chain bonds
+
+
+def test_moad_ligand_size_filter(tmp_path):
+    # 8 atoms: below the 10 < n threshold -> no ligand emitted
+    bio = str(tmp_path / '2xyz.bio1')
+    with open(bio, 'w') as f:
+        f.write(BIO1.format(LIG=_ligand_hetatms(8)))
+    _, n_lig = moad.clean_and_split(str(tmp_path), str(tmp_path / 'p'),
+                                    str(tmp_path / 'l'))
+    assert n_lig == 0
+
+
+def test_get_pocket(tmp_path):
+    pdb = str(tmp_path / 'prot.pdb')
+    with open(pdb, 'w') as f:
+        f.write(BIO1.format(LIG='').replace('MODEL        1\n', '')
+                .split('ENDMDL')[0])
+    # ligand right next to residue 1
+    mol_coords = np.asarray([[11.5, 10.0, 10.0]])
+    pocket = moad.get_pocket(mol_coords, pdb)
+    assert len(pocket['full_coord']) == 4  # N, CA, C, O — H skipped
+    assert set(pocket['full_types']) == {'N', 'C', 'O'}
+    assert len(pocket['bb_coord']) == 4
+
+
+def test_fragment_adjacency():
+    adj = graphs.fragment_adjacency(4, [(0, 1), (1, 2), (2, 3)])
+    assert adj[0, 1] == adj[1, 0] == 1
+    assert adj.sum() == 6
+    # star graph: the centre (3+ neighbours) is a 1st-order linker
+    star = graphs.fragment_adjacency(4, [(0, 1), (0, 2), (0, 3)])
+    assert (0,) in graphs.enumerate_linker_sets(star)
+    # path 1-0-2, 1-3-2 (4-cycle): opposite corners are 2nd-order linkers
+    cyc = graphs.fragment_adjacency(4, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    pairs = graphs.linkers_order2(cyc)
+    assert (0, 2) in pairs and (1, 3) in pairs
