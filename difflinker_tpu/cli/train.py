@@ -44,6 +44,17 @@ def build_argparser():
                    help='override test_epochs')
     p.add_argument('--no-sampling-eval', action='store_true')
     p.add_argument('--logs', type=str, default='logs')
+    p.add_argument('--wandb', type=str, default=None,
+                   help='wandb project name (logging off when unset)')
+    p.add_argument('--wandb-entity', type=str, default=None)
+    p.add_argument('--profile', type=str, default=None,
+                   help='capture a jax.profiler trace of the first resumed '
+                        'epoch into this directory')
+    p.add_argument('--ema', type=float, default=None,
+                   help='EMA decay for a parallel parameter average')
+    p.add_argument('--adaptive-clip', action='store_true',
+                   help='adaptive gradient clipping (1.5x mean + 2 std of '
+                        'recent grad norms)')
     return p
 
 
@@ -82,8 +93,19 @@ def main(argv=None):
     mesh = None
     if args.mesh and args.mesh > 1:
         mesh = mesh_lib.make_mesh(args.mesh)
-    trainer = Trainer(cfg, mesh=mesh)
+    trainer = Trainer(cfg, mesh=mesh, ema_beta=args.ema,
+                      adaptive_clip=args.adaptive_clip)
     mgr = ckpt_lib.CheckpointManager(run_dir)
+
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+            wandb_run = wandb.init(project=args.wandb,
+                                   entity=args.wandb_entity, name=run_id,
+                                   config=ckpt_lib._cfg_to_jsonable(cfg))
+        except Exception as e:
+            common.log(f'wandb unavailable, logging to stdout only: {e}')
 
     key = jax.random.PRNGKey(cfg.train.seed)
     state = trainer.init_state(key)
@@ -104,8 +126,14 @@ def main(argv=None):
         key, ktrain, keval, ksample = jax.random.split(key, 4)
         batches = train_ds.iter_batches(cfg.train.batch_size, shuffle=True,
                                         seed=epoch)
+        profiling = args.profile and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(args.profile)
         state, train_metrics = trainer.fit_epoch(
             state, batches, ktrain, log_every=cfg.train.log_iterations)
+        if profiling:
+            jax.profiler.stop_trace()
+            common.log(f'profiler trace written to {args.profile}')
         val_metrics = trainer.evaluate(
             state, val_ds.iter_batches(cfg.train.batch_size), keval)
         dt = time.time() - t0
@@ -127,11 +155,17 @@ def main(argv=None):
             common.log('sampling eval: ' + json.dumps(
                 {k: round(float(v), 4) for k, v in sampling.items()}))
 
+        if wandb_run is not None:
+            wandb_run.log({f'{k}/train': v for k, v in train_metrics.items()}
+                          | {f'{k}/val': v for k, v in val_metrics.items()},
+                          step=epoch)
         mgr.save(epoch + 1, state,
                  metrics={'loss_val': val_metrics['loss']})
         with open(os.path.join(run_dir, 'history.json'), 'w') as f:
             json.dump(history, f)
     common.log('training done')
+    if wandb_run is not None:
+        wandb_run.finish()
     mgr.close()
     return 0
 

@@ -133,18 +133,18 @@ class LinkerDataset:
         """Yield padded batches. With `group_by_bucket`, samples are grouped so
         each batch pads to its own bucket (minimal padding waste, bounded
         program count)."""
-        order = np.arange(len(self.samples))
+        order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
 
         if group_by_bucket:
             by_bucket: Dict[int, list] = {}
             for idx in order:
-                b = _bucket_of(self.samples[idx], self.buckets)
+                b = _bucket_of(self[idx], self.buckets)
                 by_bucket.setdefault(b, []).append(idx)
             groups = [(b, idxs) for b, idxs in sorted(by_bucket.items())]
         else:
-            n = max(_bucket_of(self.samples[i], self.buckets) for i in order)
+            n = max(_bucket_of(self[i], self.buckets) for i in order)
             groups = [(n, list(order))]
 
         for bucket, idxs in groups:
@@ -152,8 +152,50 @@ class LinkerDataset:
                 chunk = idxs[i:i + batch_size]
                 if drop_last and len(chunk) < batch_size:
                     continue
-                yield collate([self.samples[j] for j in chunk],
+                yield collate([self[j] for j in chunk],
                               n_nodes=bucket, **collate_kwargs)
+
+
+class DeduplicatedPocketDataset(LinkerDataset):
+    """Storage-deduplicated pocket dataset: per-fragmentation masks reference
+    shared per-protein tensors (reference OptimisedMOADDataset,
+    src/datasets.py:225-329 — many fragmentations of one ligand share the same
+    positions/one-hot/pocket arrays)."""
+
+    MASK_KEYS = ('anchors', 'fragment_only_mask', 'pocket_mask',
+                 'fragment_mask', 'linker_mask')
+    SHARED_KEYS = ('positions', 'one_hot', 'charges')
+
+    def __init__(self, fragmentations: List[Dict], proteins: Dict[str, Dict],
+                 buckets=None):
+        self.fragmentations = fragmentations
+        self.proteins = proteins
+        self.buckets = tuple(buckets or constants.DEFAULT_SIZE_BUCKETS)
+
+    @classmethod
+    def from_samples(cls, samples: List[Dict], buckets=None):
+        """Split flat samples into fragmentation-level + protein-level parts,
+        deduplicating by molecule name."""
+        proteins: Dict[str, Dict] = {}
+        frags = []
+        for s in samples:
+            name = str(s['name'])
+            proteins.setdefault(name, {k: s[k] for k in cls.SHARED_KEYS
+                                       if k in s} | {'num_atoms': s['num_atoms']})
+            frags.append({'uuid': s['uuid'], 'name': name,
+                          **{k: s[k] for k in cls.MASK_KEYS if k in s}})
+        return cls(frags, proteins, buckets)
+
+    @property
+    def samples(self):
+        return [self[i] for i in range(len(self))]
+
+    def __len__(self):
+        return len(self.fragmentations)
+
+    def __getitem__(self, i):
+        f = self.fragmentations[i]
+        return {**f, **self.proteins[f['name']]}
 
 
 def _bucket_of(sample: Dict, buckets) -> int:

@@ -59,13 +59,21 @@ class Trainer:
     {'params', 'opt_state', 'step'} (orbax-friendly)."""
 
     def __init__(self, cfg: ExperimentConfig, mesh=None,
-                 grad_clip_norm: Optional[float] = None):
+                 grad_clip_norm: Optional[float] = None,
+                 ema_beta: Optional[float] = None,
+                 adaptive_clip: bool = False):
         self.cfg = cfg
         self.edm = make_edm(cfg.model, cfg.diffusion)
         self.tx = adamw_amsgrad(cfg.train.lr, cfg.train.weight_decay,
                                 cfg.train.amsgrad, grad_clip_norm)
         self.mesh = mesh
         self.has_pocket = cfg.data.has_pocket
+        self.ema_beta = ema_beta
+        self.adaptive_clip = adaptive_clip
+        self._grad_queue = None
+        if adaptive_clip:
+            from difflinker_tpu.train.ema import GradNormQueue
+            self._grad_queue = GradNormQueue()
         self._train_step = None
         self._eval_step = None
 
@@ -76,6 +84,9 @@ class Trainer:
         state = {'params': params,
                  'opt_state': self.tx.init(params),
                  'step': jnp.zeros((), jnp.int32)}
+        if self.ema_beta is not None:
+            from difflinker_tpu.train.ema import ema_init
+            state['ema_params'] = ema_init(params)
         if self.mesh is not None:
             state = mesh_lib.replicate_params(self.mesh, state)
         return state
@@ -113,18 +124,24 @@ class Trainer:
 
     # -- steps ----------------------------------------------------------------
 
-    def train_step(self, state: Dict, batch: Dict, key) -> (Dict, Dict):
+    def train_step(self, state: Dict, batch: Dict, key,
+                   max_grad_norm=jnp.inf) -> (Dict, Dict):
         grads, terms = jax.grad(
             lambda p: self.loss_fn(p, batch, key, training=True),
             has_aux=True)(state['params'])
+        from difflinker_tpu.train.ema import clip_by_norm, ema_update
+        grads, grad_norm = clip_by_norm(grads, max_grad_norm)
         updates, opt_state = self.tx.update(grads, state['opt_state'],
                                             state['params'])
         params = jax.tree.map(lambda p, u: p + u, state['params'], updates)
         metrics = {k: v for k, v in terms.items() if k != 'nan_flag'}
-        metrics['grad_norm'] = jnp.sqrt(sum(
-            jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads)))
-        return ({'params': params, 'opt_state': opt_state,
-                 'step': state['step'] + 1}, metrics)
+        metrics['grad_norm'] = grad_norm
+        new_state = {'params': params, 'opt_state': opt_state,
+                     'step': state['step'] + 1}
+        if 'ema_params' in state:
+            new_state['ema_params'] = ema_update(
+                state['ema_params'], params, self.ema_beta)
+        return new_state, metrics
 
     def eval_step(self, state: Dict, batch: Dict, key) -> Dict:
         _, terms = self.loss_fn(state['params'], batch, key, training=False)
@@ -142,7 +159,7 @@ class Trainer:
                 dsh = mesh_lib.batch_sharding(self.mesh)
                 fn = jax.jit(
                     self.train_step,
-                    in_shardings=(rep, dsh, rep),
+                    in_shardings=(rep, dsh, rep, rep),
                     out_shardings=(rep, rep))
             self._train_step = fn
         return self._train_step
@@ -169,7 +186,12 @@ class Trainer:
         for i, batch in enumerate(batches):
             key, sub = jax.random.split(key)
             jbatch = self._device_batch(batch)
-            state, metrics = step_fn(state, jbatch, sub)
+            thr = (self._grad_queue.threshold()
+                   if self._grad_queue is not None else jnp.inf)
+            state, metrics = step_fn(state, jbatch, sub,
+                                     jnp.asarray(thr, jnp.float32))
+            if self._grad_queue is not None:
+                self._grad_queue.observe(float(metrics['grad_norm']))
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
             if log_every and i % log_every == 0:

@@ -1,0 +1,111 @@
+"""Checkpoint IO (orbax roundtrip, npz params), dedup pocket dataset, config
+save/load, inpainting sampler."""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                   ExperimentConfig, GraphType, ModelConfig,
+                                   PocketMode, TrainConfig)
+from difflinker_tpu.data.datasets import (DeduplicatedPocketDataset,
+                                          synthetic_dataset)
+from difflinker_tpu.io import checkpoints as ckpt_lib
+from difflinker_tpu.train.trainer import Trainer
+
+
+def _cfg():
+    return ExperimentConfig(
+        exp_name='io_test',
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=8),
+        data=DataConfig(),
+        train=TrainConfig(lr=1e-3, batch_size=4))
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = dataclasses.replace(
+        _cfg(),
+        data=DataConfig(family='moad', pocket_mode=PocketMode.FULL),
+        model=ModelConfig(in_node_nf=9, context_node_nf=3,
+                          graph_type=GraphType.FC_10A_4A))
+    ckpt_lib.save_config(cfg, str(tmp_path))
+    back = ckpt_lib.load_config(str(tmp_path))
+    assert back.model.graph_type == GraphType.FC_10A_4A
+    assert back.data.pocket_mode == PocketMode.FULL
+    assert back.diffusion.norm_values == cfg.diffusion.norm_values
+    assert back.train.center_of_mass == cfg.train.center_of_mass
+
+
+def test_orbax_roundtrip(tmp_path):
+    cfg = _cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path))
+    mgr.save(3, state, metrics={'loss_val': 1.25})
+    assert mgr.latest_step() == 3
+
+    fresh = trainer.init_state(jax.random.PRNGKey(9))
+    restored = mgr.restore(fresh)
+    for a, b in zip(jax.tree.leaves(state['params']),
+                    jax.tree.leaves(restored['params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_params_npz_roundtrip(tmp_path):
+    cfg = _cfg()
+    trainer = Trainer(cfg)
+    params = trainer.edm.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / 'p.npz')
+    ckpt_lib.save_params_npz(params, path)
+    like = trainer.edm.init_params(jax.random.PRNGKey(5))
+    back = ckpt_lib.load_params_npz(path, like)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dedup_pocket_dataset():
+    ds = synthetic_dataset(2, seed=0, is_geom=True, pocket_range=(4, 8))
+    # simulate 3 fragmentations per protein: same atoms, different masks
+    samples = []
+    for i, base in enumerate(ds.samples):
+        for j in range(3):
+            s = dict(base)
+            s['uuid'] = i * 3 + j
+            s['name'] = f'prot_{i}'
+            samples.append(s)
+    dedup = DeduplicatedPocketDataset.from_samples(samples)
+    assert len(dedup) == 6
+    assert len(dedup.proteins) == 2
+    item = dedup[0]
+    for k in ('positions', 'one_hot', 'fragment_mask', 'linker_mask',
+              'pocket_mask'):
+        assert k in item
+    # shared tensors are the same object across fragmentations of one protein
+    assert dedup[0]['positions'] is dedup[1]['positions']
+    batches = list(dedup.iter_batches(3))
+    assert sum(b['positions'].shape[0] for b in batches) == 6
+
+
+def test_inpainting_sampler():
+    from difflinker_tpu.sample.sampler import LinkerSampler
+    cfg = dataclasses.replace(
+        _cfg(), diffusion=DiffusionConfig(timesteps=8, inpainting=True),
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6, centering=True))
+    trainer = Trainer(cfg)
+    params = trainer.edm.init_params(jax.random.PRNGKey(0))
+    ds = synthetic_dataset(4, seed=1)
+    batch = next(ds.iter_batches(4, group_by_bucket=False))
+    sampler = LinkerSampler(cfg, params, trainer.edm)
+    out = sampler.sample(batch, jax.random.PRNGKey(2))
+    assert not out['nan_flag'].any()
+    # inpainting regenerates everything; shapes match the input batch
+    assert out['positions'].shape == batch['positions'].shape
+    s = out['one_hot'].sum(-1)
+    assert set(np.unique(s)) <= {0.0, 1.0}

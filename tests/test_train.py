@@ -50,12 +50,14 @@ def test_dp_sharding_matches_single_device():
 
     t1 = Trainer(cfg)
     s1 = t1.init_state(key0)
-    s1, m1 = t1.compiled_train_step()(s1, t1._device_batch(batches[0]), key1)
+    s1, m1 = t1.compiled_train_step()(s1, t1._device_batch(batches[0]), key1,
+                                      jnp.inf)
 
     mesh = mesh_lib.make_mesh(8)
     t8 = Trainer(cfg, mesh=mesh)
     s8 = t8.init_state(key0)
-    s8, m8 = t8.compiled_train_step()(s8, t8._device_batch(batches[0]), key1)
+    s8, m8 = t8.compiled_train_step()(s8, t8._device_batch(batches[0]), key1,
+                                      jnp.asarray(jnp.inf))
 
     np.testing.assert_allclose(float(m8['loss']), float(m1['loss']),
                                rtol=1e-5, atol=1e-6)
@@ -82,7 +84,8 @@ def test_train_step_pocket_model():
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, metrics = trainer.compiled_train_step()(
-        state, trainer._device_batch(batches[0]), jax.random.PRNGKey(1))
+        state, trainer._device_batch(batches[0]), jax.random.PRNGKey(1),
+        jnp.inf)
     assert np.isfinite(metrics['loss'])
 
 
@@ -100,5 +103,31 @@ def test_vlb_loss_and_learned_gamma():
     assert 'gamma' in state['params']
     batch = _batches(n=1, batch_size=4)[0]
     state, metrics = trainer.compiled_train_step()(
-        state, trainer._device_batch(batch), jax.random.PRNGKey(1))
+        state, trainer._device_batch(batch), jax.random.PRNGKey(1), jnp.inf)
     assert np.isfinite(metrics['vlb_loss'])
+
+
+def test_ema_and_adaptive_clip():
+    trainer = Trainer(_cfg(), ema_beta=0.9, adaptive_clip=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    assert 'ema_params' in state
+    batches = _batches(n=3, batch_size=8)
+    state, metrics = trainer.fit_epoch(state, batches, jax.random.PRNGKey(1))
+    assert np.isfinite(metrics['grad_norm'])
+    # EMA stays close to params but not equal after updates
+    p = jax.tree.leaves(state['params'])[0]
+    e = jax.tree.leaves(state['ema_params'])[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+    # adaptive queue collected history
+    assert len(trainer._grad_queue.items) == 3
+
+
+def test_clip_by_norm():
+    from difflinker_tpu.train.ema import clip_by_norm
+    g = {'a': jnp.ones((4,)) * 3.0}
+    clipped, norm = clip_by_norm(g, 1.0)
+    assert np.isclose(float(norm), 6.0)
+    cn = np.linalg.norm(np.asarray(clipped['a']))
+    assert np.isclose(cn, 1.0, atol=1e-5)
+    same, _ = clip_by_norm(g, jnp.inf)
+    np.testing.assert_array_equal(np.asarray(same['a']), np.asarray(g['a']))
