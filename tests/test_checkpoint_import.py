@@ -1,0 +1,96 @@
+"""File-level Lightning-checkpoint import: build a .ckpt exactly shaped like
+the released ones (hyper_parameters + `edm.*`-prefixed state_dict from the
+real torch reference modules), load it through load_ddpm_checkpoint, and
+verify the imported model reproduces the torch forward pass."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, '/root/reference')
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from src.egnn import Dynamics as TorchDynamics  # noqa: E402
+from src.edm import EDM as TorchEDM  # noqa: E402
+
+from difflinker_tpu.config import CenterOfMass, DatasetFamily  # noqa: E402
+from difflinker_tpu.io.lightning_import import load_ddpm_checkpoint  # noqa: E402
+from difflinker_tpu.models.dynamics import dynamics_apply  # noqa: E402
+
+from conftest import make_batch  # noqa: E402
+
+HPARAMS = {
+    'in_node_nf': 8, 'n_dims': 3, 'context_node_nf': 2, 'hidden_nf': 32,
+    'activation': 'silu', 'tanh': False, 'n_layers': 2, 'attention': False,
+    'norm_constant': 1e-6, 'inv_sublayers': 2, 'sin_embedding': False,
+    'normalization_factor': 100, 'aggregation_method': 'sum',
+    'diffusion_steps': 40, 'diffusion_noise_schedule': 'polynomial_2',
+    'diffusion_noise_precision': 1e-5, 'diffusion_loss_type': 'l2',
+    'normalize_factors': [1, 4, 10], 'include_charges': False,
+    'model': 'egnn_dynamics', 'data_path': 'datasets',
+    'train_data_prefix': 'zinc_final_train',
+    'val_data_prefix': 'zinc_final_val', 'batch_size': 128, 'lr': 2e-4,
+    'torch_device': 'cpu', 'test_epochs': 20, 'n_stability_samples': 10,
+    'center_of_mass': 'fragments', 'inpainting': False,
+    'anchors_context': True,
+}
+
+
+def _make_reference_ckpt(path):
+    torch.manual_seed(0)
+    dyn = TorchDynamics(
+        n_dims=3, in_node_nf=8, context_node_nf=2, hidden_nf=32,
+        activation=torch.nn.SiLU(), n_layers=2, attention=False,
+        condition_time=True, tanh=False, norm_constant=1e-6, inv_sublayers=2,
+        sin_embedding=False, normalization_factor=100,
+        aggregation_method='sum', model='egnn_dynamics')
+    edm = TorchEDM(dynamics=dyn, in_node_nf=8, n_dims=3, timesteps=40,
+                   noise_schedule='polynomial_2', noise_precision=1e-5,
+                   loss_type='l2', norm_values=(1, 4, 10),
+                   norm_biases=(None, 0, 0))
+    sd = {f'edm.{k}': v for k, v in edm.state_dict().items()}
+    torch.save({'hyper_parameters': dict(HPARAMS), 'state_dict': sd,
+                'epoch': 123}, path)
+    return edm
+
+
+def test_load_ddpm_checkpoint(tmp_path, rng):
+    path = str(tmp_path / 'zinc_difflinker.ckpt')
+    tedm = _make_reference_ckpt(path)
+
+    cfg, params = load_ddpm_checkpoint(path)
+    assert cfg.model.hidden_nf == 32
+    assert cfg.diffusion.timesteps == 40
+    assert cfg.data.family == DatasetFamily.ZINC
+    assert cfg.train.center_of_mass == CenterOfMass.FRAGMENTS
+
+    batch = make_batch(rng, B=2, N=12, nf=8, n_frag=5, n_real=10)
+    context = np.concatenate([batch['anchors'], batch['fragment_mask']], -1)
+    xh = np.concatenate([batch['positions'], batch['one_hot']], -1)
+    t = np.full((2, 1), 0.5, np.float32)
+    B, N = 2, 12
+    with torch.no_grad():
+        ref = tedm.dynamics.forward(
+            t=torch.tensor(t), xh=torch.tensor(xh),
+            node_mask=torch.tensor(batch['atom_mask']),
+            linker_mask=torch.tensor(batch['linker_mask']),
+            edge_mask=torch.tensor(batch['edge_mask'].reshape(B * N * N, 1)),
+            context=torch.tensor(context)).numpy()
+    ours, _ = dynamics_apply(
+        params['dynamics'], jnp.asarray(t), jnp.asarray(xh),
+        jnp.asarray(batch['atom_mask']), jnp.asarray(batch['linker_mask']),
+        jnp.asarray(batch['edge_mask']), jnp.asarray(context), cfg=cfg.model)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_gamma_mismatch_detection(tmp_path):
+    path = str(tmp_path / 'bad.ckpt')
+    _make_reference_ckpt(path)
+    ckpt = torch.load(path, weights_only=False)
+    ckpt['state_dict']['edm.gamma.gamma'] += 0.5  # corrupt the table
+    torch.save(ckpt, path)
+    with pytest.raises(ValueError, match='gamma table'):
+        load_ddpm_checkpoint(path)
