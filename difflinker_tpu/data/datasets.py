@@ -103,14 +103,22 @@ class LinkerDataset:
     @classmethod
     def from_pt(cls, data_path: str, prefix: str, use_cache: bool = True,
                 buckets=None) -> 'LinkerDataset':
-        pt_path = os.path.join(data_path, f'{prefix}.pt')
+        pocket_mode = None
+        if '.' in prefix:
+            # MOAD convention: 'MOAD_train.full' is stored as
+            # 'MOAD_train_full.pt' (src/datasets.py:110-117)
+            prefix, pocket_mode = prefix.split('.')
+            pt_path = os.path.join(data_path, f'{prefix}_{pocket_mode}.pt')
+        else:
+            pt_path = os.path.join(data_path, f'{prefix}.pt')
         cache = _npz_cache_path(pt_path)
         if use_cache and os.path.exists(cache):
             return cls(load_npz_dataset(cache), buckets)
         if os.path.exists(pt_path):
             samples = load_pt_dataset(pt_path)
         else:
-            samples = preprocess_sdf_tables(data_path, prefix)
+            samples = preprocess_sdf_tables(data_path, prefix,
+                                            pocket_mode=pocket_mode)
         if use_cache:
             try:
                 save_npz_dataset(samples, cache)
