@@ -466,13 +466,14 @@ class InpaintingEDM(EDM):
         return x, h, nan_flag
 
     def sample_chain(self, params, key, x, h, node_mask, fragment_mask,
-                     linker_mask, edge_mask, context=None, keep_frames=None):
+                     linker_mask, edge_mask, context=None, keep_frames=None,
+                     eager=False):
         xn, hn = self.normalize(x, h)
         self._xh_fragments = jnp.concatenate([xn, hn], axis=-1) * fragment_mask
         try:
             return super().sample_chain(
                 params, key, x, h, node_mask, fragment_mask, linker_mask,
-                edge_mask, context, keep_frames)
+                edge_mask, context, keep_frames, eager=eager)
         finally:
             self._xh_fragments = None
 

@@ -49,10 +49,18 @@ def resolve_linker_sizes(size_spec: SizeSpec, batch: Dict, key) -> np.ndarray:
 
 
 class LinkerSampler:
+    """mesh: optional 1-D data mesh — batches shard over it and the whole
+    reverse chain runs data-parallel across chips (multi-chip sampling
+    sweeps; params replicated)."""
+
     def __init__(self, cfg: ExperimentConfig, params, edm=None,
-                 max_retries: int = 5):
+                 max_retries: int = 5, mesh=None):
         self.cfg = cfg
         self.edm = edm or make_edm(cfg.model, cfg.diffusion)
+        self.mesh = mesh
+        if mesh is not None:
+            from difflinker_tpu.parallel import mesh as mesh_lib
+            params = mesh_lib.replicate_params(mesh, params)
         self.params = params
         self.max_retries = max_retries
         self._compiled = {}
@@ -66,7 +74,21 @@ class LinkerSampler:
                 return self.edm.sample_chain(
                     params, key, x, h, node_mask, fragment_mask, linker_mask,
                     edge_mask, context, keep_frames=keep_frames)
-            self._compiled[(shape_key, keep_frames)] = jax.jit(fn)
+            if self.mesh is None:
+                jitted = jax.jit(fn)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from difflinker_tpu.parallel import mesh as mesh_lib
+                rep = mesh_lib.replicated(self.mesh)
+                dsh = mesh_lib.batch_sharding(self.mesh)
+                outs = (dsh, dsh, dsh)
+                if keep_frames is not None:
+                    # chain is (keep_frames, B, ...): batch is axis 1
+                    outs = outs + (NamedSharding(self.mesh,
+                                                 P(None, mesh_lib.DATA_AXIS)),)
+                jitted = jax.jit(fn, in_shardings=(rep, rep) + (dsh,) * 7,
+                                 out_shardings=outs)
+            self._compiled[(shape_key, keep_frames)] = jitted
         return self._compiled[(shape_key, keep_frames)]
 
     # -- main API ----------------------------------------------------------------

