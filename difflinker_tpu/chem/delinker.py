@@ -144,11 +144,22 @@ def check_ring_filter(linker) -> bool:
 
 
 def check_pains(mol, pains_smarts) -> bool:
+    """pains_smarts: list of SMARTS query mols, or an rdkit FilterCatalog
+    (the built-in PAINS fallback)."""
+    if hasattr(pains_smarts, 'HasMatch'):
+        return not pains_smarts.HasMatch(mol)
     return not any(mol.HasSubstructMatch(p) for p in pains_smarts)
 
 
+_PAINS_WARNED = False
+
+
 def load_pains_smarts(path: Optional[str] = None):
-    """WEHI PAINS SMARTS list (reference resources/wehi_pains.csv)."""
+    """WEHI PAINS SMARTS list (reference resources/wehi_pains.csv; point
+    $DIFFLINKER_PAINS at such a file). When no file exists, falls back to
+    RDKit's built-in PAINS FilterCatalog SMARTS so the filter never silently
+    becomes a pass-everything no-op."""
+    global _PAINS_WARNED
     from rdkit import Chem
     if path is None:
         path = os.environ.get('DIFFLINKER_PAINS')
@@ -156,11 +167,32 @@ def load_pains_smarts(path: Optional[str] = None):
         here = os.path.dirname(os.path.abspath(__file__))
         cand = os.path.join(here, '..', 'resources', 'wehi_pains.csv')
         path = cand if os.path.exists(cand) else None
-    if path is None or not os.path.exists(path):
+    if path is not None and os.path.exists(path):
+        with open(path) as f:
+            return [Chem.MolFromSmarts(row[0], mergeHs=True)
+                    for row in csv.reader(f)]
+    # fallback: RDKit's bundled PAINS catalog (A+B+C)
+    try:
+        from rdkit.Chem import FilterCatalog
+        params = FilterCatalog.FilterCatalogParams()
+        params.AddCatalog(FilterCatalog.FilterCatalogParams.FilterCatalogs.PAINS)
+        catalog = FilterCatalog.FilterCatalog(params)
+        if not _PAINS_WARNED:
+            import sys
+            print('[difflinker_tpu.chem] wehi_pains.csv not found — using '
+                  "RDKit's built-in PAINS FilterCatalog (set "
+                  '$DIFFLINKER_PAINS for the exact reference list)',
+                  file=sys.stderr)
+            _PAINS_WARNED = True
+        return catalog  # check_pains dispatches on the catalog type
+    except Exception:
+        if not _PAINS_WARNED:
+            import sys
+            print('[difflinker_tpu.chem] WARNING: no PAINS definitions '
+                  'available — the PAINS filter will pass everything; set '
+                  '$DIFFLINKER_PAINS to a wehi_pains.csv', file=sys.stderr)
+            _PAINS_WARNED = True
         return []
-    with open(path) as f:
-        return [Chem.MolFromSmarts(row[0], mergeHs=True)
-                for row in csv.reader(f)]
 
 
 def calc_2d_filters(entry: dict, pains_smarts) -> List[bool]:

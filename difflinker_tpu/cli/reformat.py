@@ -82,10 +82,10 @@ def main(argv=None):
         obabel_dir = os.path.join(folder, 'obabel')
         os.makedirs(obabel_dir, exist_ok=True)
         for fname in sorted(os.listdir(folder)):
+            # sample files are '{i}_.xyz'; true_/frag_/pocket_ are skipped by
+            # the isdigit check (naming contract: cli/sample.already_generated)
             stem = fname.split('_')[0]
-            if not (fname.endswith('.xyz') and stem.isdigit()
-                    and '_true' not in fname and '_frag' not in fname
-                    and '_pocket' not in fname):
+            if not (fname.endswith('.xyz') and stem.isdigit()):
                 continue
             sdf_path = os.path.join(obabel_dir, f'{stem}_.sdf')
             if not os.path.exists(sdf_path):

@@ -65,12 +65,17 @@ def load_model(args):
 
 
 def already_generated(out_dir, uuids, n_samples):
-    """Resume check (sample.py:37-61): all expected files present."""
+    """Resume check (sample.py:37-61): all expected files present.
+
+    File naming follows the reference convention: per-uuid dirs containing
+    `{i}_.xyz` sample files plus `true_/frag_/pocket_` ground truths — the
+    sample index MUST be the leading underscore-token because the reformat /
+    run_obabel stages key their SDF conversions on `fname.split('_')[0]`."""
     done = []
     for u in uuids:
         d = os.path.join(out_dir, str(u))
         ok = os.path.isdir(d) and all(
-            os.path.exists(os.path.join(d, f'{u}_{i}_.xyz'))
+            os.path.exists(os.path.join(d, f'{i}_.xyz'))
             for i in range(n_samples))
         done.append(ok)
     return np.asarray(done)
@@ -104,7 +109,6 @@ def main(argv=None):
             continue
 
         # ground-truth molecule + fragments, saved once per uuid
-        names = [f'{u}' for u in uuids]
         for u in uuids:
             os.makedirs(os.path.join(args.out, u), exist_ok=True)
         atom_mask = batch['atom_mask']
@@ -112,19 +116,17 @@ def main(argv=None):
         if 'pocket_mask' in batch:
             atom_mask = atom_mask - batch['pocket_mask']
             frag_mask = batch['fragment_only_mask']
-            for u, pm in zip(uuids, batch['pocket_mask']):
-                pass
         for i, u in enumerate(uuids):
             d = os.path.join(args.out, u)
             save_xyz_file(d, batch['one_hot'][i:i+1], batch['positions'][i:i+1],
-                          atom_mask[i:i+1], names=[f'{u}_true'], is_geom=is_geom)
+                          atom_mask[i:i+1], names=['true'], is_geom=is_geom)
             save_xyz_file(d, batch['one_hot'][i:i+1], batch['positions'][i:i+1],
-                          frag_mask[i:i+1], names=[f'{u}_frag'], is_geom=is_geom)
+                          frag_mask[i:i+1], names=['frag'], is_geom=is_geom)
             if 'pocket_mask' in batch:
                 save_xyz_file(d, batch['one_hot'][i:i+1],
                               batch['positions'][i:i+1],
                               batch['pocket_mask'][i:i+1],
-                              names=[f'{u}_pocket'], is_geom=is_geom)
+                              names=['pocket'], is_geom=is_geom)
 
         outs = sampler.sample_n(batch, jax.random.fold_in(key, b_idx),
                                 args.n_samples, size_spec=size_spec)
@@ -133,9 +135,10 @@ def main(argv=None):
             if 'pocket_mask' in out:
                 node_mask = node_mask - out['pocket_mask']
             for i, u in enumerate(uuids):
+                # '{i}_.xyz' — the sample index leads (see already_generated)
                 save_xyz_file(os.path.join(args.out, u),
                               out['one_hot'][i:i+1], out['positions'][i:i+1],
-                              node_mask[i:i+1], names=[f'{u}_{s_idx}'],
+                              node_mask[i:i+1], names=[f'{s_idx}'],
                               is_geom=is_geom)
         n_done += len(uuids)
         common.log(f'batch {b_idx}: sampled {args.n_samples} linkers for '

@@ -150,6 +150,10 @@ def main(argv=None):
                 sampler, val_ds.iter_batches(cfg.train.batch_size), ksample,
                 n_samples=cfg.train.n_stability_samples,
                 is_geom=cfg.data.is_geom)
+            # sampling metrics run every `eval_every` epochs — record the
+            # epoch alongside so series stay alignable (the per-epoch loss
+            # lists have a different cadence)
+            history.setdefault('sampling_epochs', []).append(epoch)
             for k, v in sampling.items():
                 history.setdefault(f'{k}/val', []).append(v)
             common.log('sampling eval: ' + json.dumps(

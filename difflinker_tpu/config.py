@@ -257,6 +257,11 @@ def load_config(path: str) -> ExperimentConfig:
     if 'norm_values' in df:
         df['norm_values'] = tuple(float(v) for v in df['norm_values'])
 
+    # the reference couples dynamics CoM-centering to inpainting
+    # (src/lightning.py:99: Dynamics(centering=inpainting))
+    if df.get('inpainting'):
+        m.setdefault('centering', True)
+
     data = DataConfig(**{k: v for k, v in d.items()
                          if k in {f.name for f in dataclasses.fields(DataConfig)}})
     train = TrainConfig(**{k: v for k, v in t.items()

@@ -203,12 +203,11 @@ def prepare_moad_dataset(table_path: str, sdf_path: str, proteins_dir: str,
     from difflinker_tpu.dataprep.zinc import process_sdf, _write_sdf
 
     table = pd.read_csv(table_path)
-    molecules, fragments, linkers, out_table = process_sdf(sdf_path, table,
-                                                           progress=True)
-    # molecule_name column drives protein lookup and the split
-    name_by_smi = dict(zip(table.molecule.values, table.molecule_name.values))
-    out_table['molecule_name'] = [name_by_smi.get(s, '')
-                                  for s in out_table.molecule.values]
+    # MOAD conformers are named '1abc_0' (ligand ids), not SMILES — join on
+    # molecule_name (reference data/pocket/prepare_dataset.py); the column is
+    # carried into the output rows for protein lookup and the pdb split
+    molecules, fragments, linkers, out_table = process_sdf(
+        sdf_path, table, progress=True, join_col='molecule_name')
 
     pockets = []
     for mol, name in zip(molecules, out_table.molecule_name.values):

@@ -17,10 +17,15 @@ from difflinker_tpu.dataprep.fragmentation import (
     combine_fragments, get_anchors_idx, prepare_fragments_and_linker)
 
 
-def process_sdf(sdf_path: str, table, progress: bool = True):
+def process_sdf(sdf_path: str, table, progress: bool = True,
+                join_col: str = 'molecule'):
     """Pair each conformer molecule with its DeLinker (linker, fragments)
     rows and build anchored fragment/linker conformers
-    (prepare_dataset.py:214-255)."""
+    (prepare_dataset.py:214-255).
+
+    join_col: table column matched against the SDF `_Name` — 'molecule'
+    (SMILES names, ZINC/GEOM) or 'molecule_name' (MOAD '1abc_0' ligand names,
+    reference data/pocket/prepare_dataset.py)."""
     from rdkit import Chem
     import pandas as pd
 
@@ -37,7 +42,7 @@ def process_sdf(sdf_path: str, table, progress: bool = True):
         mol_name = mol.GetProp('_Name')
         mol_smi = Chem.MolToSmiles(mol)
         mol.SetProp('_Name', mol_smi)
-        sel = table[table.molecule == mol_name][['linker', 'fragments']].values
+        sel = table[table[join_col] == mol_name][['linker', 'fragments']].values
         for linker_smi, frags_smi in sel:
             try:
                 frags, linker = prepare_fragments_and_linker(
@@ -60,6 +65,8 @@ def process_sdf(sdf_path: str, table, progress: bool = True):
                 'linker': Chem.MolToSmiles(linker),
                 'energy': mol.GetProp('_Energy') if mol.HasProp('_Energy') else 0,
             }
+            if join_col != 'molecule':
+                row[join_col] = mol_name
             if len(anchors_idx) == 2:
                 row['anchor_1'], row['anchor_2'] = anchors_idx[:2]
             else:

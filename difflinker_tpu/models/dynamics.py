@@ -116,12 +116,14 @@ def dynamics_apply(
                 cfg=cfg, remat=remat, mean_count_static=mean_count_static)
         vel = (x_final - x) * node_mask
     elif cfg.model == 'gnn_dynamics':
-        # The reference GNN-ablation path passes no edge mask at all
-        # (src/egnn.py:423): messages flow over the full intra-sample FC
-        # graph including padded nodes.
+        # FC graphs: the reference GNN-ablation path passes no edge mask at
+        # all (src/egnn.py:423) — messages flow over the full intra-sample FC
+        # graph including padded nodes. Distance-graph types DO restrict the
+        # GNN to the cutoff edges (src/egnn.py:528 passes `edges`).
+        gnn_edge_mask = None if cfg.graph_type == GraphType.FC else edge_mask
         out, _ = egnn_lib.gnn_apply(
             params['gnn'], jnp.concatenate([x, h], axis=-1), node_mask,
-            None, cfg=cfg, state=params.get('gnn_state'), train=False)
+            gnn_edge_mask, cfg=cfg, state=params.get('gnn_state'), train=False)
         vel = out[..., :cfg.n_dims] * node_mask
         h_final = out[..., cfg.n_dims:]
     else:

@@ -222,7 +222,10 @@ def block_apply(p, h, x, dist0, node_mask, linker_mask, edge_mask, *, cfg, act,
         p['coord'], h, x, cdiff, edge_attr, edge_mask, linker_mask, node_mask,
         act=act, normalization_factor=cfg.normalization_factor,
         aggregation_method=cfg.aggregation_method, tanh=cfg.tanh,
-        coords_range=cfg.coords_range / cfg.n_layers,
+        # the reference passes the FULL coords_range into every block
+        # (src/egnn.py:209 -> :136 -> :149); EGNN.coords_range_layer (:191,
+        # divided by n_layers) is dead code there
+        coords_range=cfg.coords_range,
         mean_count_static=mean_count_static)
     if nm is not None:
         h = h * nm

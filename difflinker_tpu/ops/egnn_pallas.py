@@ -288,7 +288,7 @@ def block_apply_pallas(p, h, x, d20, node_mask, linker_mask, edge_mask, *, cfg):
                        compute_dtype=cfg.dtype)
     x = coord_update_pallas(
         p['coord'], h, x, d20, node_mask, linker_mask, edge_mask,
-        tanh=cfg.tanh, coords_range=cfg.coords_range / cfg.n_layers,
+        tanh=cfg.tanh, coords_range=cfg.coords_range,
         norm_constant=cfg.norm_constant,
         normalization_factor=cfg.normalization_factor,
         compute_dtype=cfg.dtype)
@@ -304,9 +304,8 @@ def egnn_apply_pallas(p, h, x, node_mask, linker_mask, edge_mask, *, cfg):
     if linker_mask is None:
         linker_mask = node_mask
     if edge_mask is None:
-        nm = node_mask[..., 0]
-        edge_mask = (nm[:, :, None] * nm[:, None, :]
-                     * (1.0 - jnp.eye(nm.shape[-1], dtype=nm.dtype)))[..., None]
+        from difflinker_tpu.ops.geometry import fc_edge_mask
+        edge_mask = fc_edge_mask(node_mask)  # reference {0,-1,-2} convention
 
     x = x.astype(jnp.float32)
     diff0 = x[:, :, None, :] - x[:, None, :, :]

@@ -60,9 +60,17 @@ def sample_and_analyze(sampler: LinkerSampler, batches: Iterable[Dict],
 
 def best_validation_metrics(history: Dict[str, list]) -> (Dict[str, float], int):
     """Model selection by argmax validity_and_connectivity
-    (src/lightning.py:468-476)."""
+    (src/lightning.py:468-476).
+
+    Sampling metrics run on a sparser cadence than per-epoch losses, so only
+    same-cadence series are indexed by the argmax (avoids the reference's
+    index misalignment between dense and sparse /val lists); the returned
+    epoch is resolved through history['sampling_epochs'] when present.
+    """
     series = history['validity_and_connectivity/val']
-    best_epoch = int(np.argmax(series))
-    best = {k: v[best_epoch] for k, v in history.items()
-            if k.endswith('/val') and len(v) > best_epoch}
+    best_idx = int(np.argmax(series))
+    best = {k: v[best_idx] for k, v in history.items()
+            if k.endswith('/val') and len(v) == len(series)}
+    epochs = history.get('sampling_epochs')
+    best_epoch = int(epochs[best_idx]) if epochs else best_idx
     return best, best_epoch

@@ -129,3 +129,14 @@ def test_bucket_overflow_raises():
     ds = synthetic_dataset(2, seed=6)
     with pytest.raises(ValueError):
         collate_lib.collate(ds.samples, n_nodes=4)
+
+
+def test_edge_mask_helpers_agree(rng):
+    """collate.reference_edge_mask (numpy) and ops.geometry.fc_edge_mask
+    (jnp) implement the same checkpoint-critical {0,-1,-2} convention."""
+    import jax.numpy as jnp
+    from difflinker_tpu.ops.geometry import fc_edge_mask
+    nm = (rng.random((3, 9)) < 0.7).astype(np.float32)
+    a = collate_lib.reference_edge_mask(nm)
+    b = np.asarray(fc_edge_mask(jnp.asarray(nm)[..., None]))
+    np.testing.assert_array_equal(a, b)

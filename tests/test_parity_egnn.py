@@ -148,3 +148,48 @@ def test_gnn_dynamics_parity(rng):
     batch = make_batch(rng, B=2, N=10, nf=8, n_frag=4, n_real=8)
     ref, ours, _ = _run_pair(cfg, batch)
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_tanh_coords_range_parity(rng):
+    """The tanh clamp uses the FULL coords_range per block (src/egnn.py:209,
+    136, 149 — the /n_layers attribute at :191 is dead code). The xavier-0.001
+    init makes phi tiny, so scale the coordinate-MLP outputs up until the
+    tanh*range factor dominates and any mis-scaling is visible."""
+    cfg = ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=32,
+                      n_layers=4, inv_sublayers=1, tanh=True,
+                      norm_constant=1e-6)
+    batch = make_batch(rng, B=2, N=10, nf=8, n_frag=4, n_real=8)
+
+    torch.manual_seed(21)
+    tmodel = TorchDynamics(
+        n_dims=3, in_node_nf=8, context_node_nf=2, hidden_nf=32,
+        activation=torch.nn.SiLU(), n_layers=4, attention=False,
+        condition_time=True, tanh=True, norm_constant=1e-6, inv_sublayers=1,
+        sin_embedding=False, normalization_factor=100,
+        aggregation_method='sum', model='egnn_dynamics').eval()
+    with torch.no_grad():
+        for blk in range(4):
+            layer = getattr(tmodel.dynamics, f'e_block_{blk}')._modules['gcl_equiv']
+            layer.coord_mlp[4].weight *= 2000.0  # push tanh into saturation
+
+    xh = np.concatenate([batch['positions'], batch['one_hot']], -1)
+    context = np.concatenate([batch['anchors'], batch['fragment_mask']], -1)
+    t = np.full((2, 1), 0.4, np.float32)
+    B, N = 2, 10
+    with torch.no_grad():
+        ref = tmodel.forward(
+            t=torch.tensor(t), xh=torch.tensor(xh),
+            node_mask=torch.tensor(batch['atom_mask']),
+            linker_mask=torch.tensor(batch['linker_mask']),
+            edge_mask=torch.tensor(batch['edge_mask'].reshape(B * N * N, 1)),
+            context=torch.tensor(context)).numpy()
+
+    params = convert_dynamics(tmodel.state_dict(), '', model='egnn_dynamics',
+                              n_layers=4, inv_sublayers=1, attention=False)
+    ours, _ = dynamics_apply(
+        params, jnp.asarray(t), jnp.asarray(xh),
+        jnp.asarray(batch['atom_mask']), jnp.asarray(batch['linker_mask']),
+        jnp.asarray(batch['edge_mask']), jnp.asarray(context), cfg=cfg)
+    vel_ref, vel_ours = ref[..., :3], np.asarray(ours)[..., :3]
+    assert np.abs(vel_ref).max() > 0.05  # the clamp actually engaged
+    np.testing.assert_allclose(vel_ours, vel_ref, atol=5e-4, rtol=1e-3)
