@@ -50,6 +50,8 @@ def build_argparser():
     p.add_argument('--profile', type=str, default=None,
                    help='capture a jax.profiler trace of the first resumed '
                         'epoch into this directory')
+    p.add_argument('--samples-dir', type=str, default=None,
+                   help='save a denoising-chain gif per sampling eval here')
     p.add_argument('--ema', type=float, default=None,
                    help='EMA decay for a parallel parameter average')
     p.add_argument('--adaptive-clip', action='store_true',
@@ -71,6 +73,28 @@ def load_datasets(cfg, synthetic):
     return train, val
 
 
+def save_epoch_animation(cfg, sampler, val_ds, epoch, key):
+    """Denoising-chain gif of the first val molecule every sampling-eval epoch
+    (reference DDPM.generate_animation, src/lightning.py:306-320, FRAMES=100)."""
+    import numpy as np
+    from difflinker_tpu.io.visualizer import visualize_chain
+    from difflinker_tpu.io.xyz import save_xyz_file
+
+    frames = min(100, cfg.diffusion.timesteps)
+    batch = next(val_ds.iter_batches(1))
+    out = sampler.sample(batch, key, size_spec='ground_truth',
+                         keep_frames=frames)
+    mol_dir = os.path.join(cfg.train.samples_dir, f'epoch_{epoch}', 'mol_0')
+    os.makedirs(mol_dir, exist_ok=True)
+    nf = cfg.model.in_node_nf
+    node_mask = np.repeat(out['node_mask'][0][None], frames, axis=0)
+    save_xyz_file(mol_dir, out['chain'][:, 0, :, 3:3 + nf],
+                  out['chain'][:, 0, :, :3], node_mask,
+                  names=[f'mol_0_{j}' for j in range(frames)],
+                  is_geom=cfg.data.is_geom)
+    return visualize_chain(mol_dir, is_geom=cfg.data.is_geom)
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     if args.resume:
@@ -86,6 +110,12 @@ def main(argv=None):
     sys.stdout = common.Logger(os.path.join(args.logs, 'general_logs',
                                             run_id, 'log.log'))
     common.log(f'run {run_id}; backend={jax.default_backend()}')
+
+    if args.samples_dir:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           samples_dir=args.samples_dir))
 
     n_epochs = args.epochs or cfg.train.n_epochs
     eval_every = args.eval_every or cfg.train.test_epochs
@@ -158,6 +188,13 @@ def main(argv=None):
                 history.setdefault(f'{k}/val', []).append(v)
             common.log('sampling eval: ' + json.dumps(
                 {k: round(float(v), 4) for k, v in sampling.items()}))
+            if cfg.train.samples_dir:
+                gif = save_epoch_animation(cfg, sampler, val_ds, epoch,
+                                           ksample)
+                common.log(f'animation: {gif}')
+                if wandb_run is not None:
+                    import wandb as _wandb
+                    wandb_run.log({'chain': _wandb.Video(gif)}, step=epoch)
 
         if wandb_run is not None:
             wandb_run.log({f'{k}/train': v for k, v in train_metrics.items()}

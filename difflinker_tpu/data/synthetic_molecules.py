@@ -1,0 +1,147 @@
+"""Geometrically realistic synthetic linker-design data.
+
+`synthetic_dataset` (datasets.py) produces random point clouds — fine for
+shape/throughput tests, but no model can learn chemistry from them. This
+generator builds *valid* molecules under the framework's own bond-perception
+tables: tree-structured molecules whose bonded pairs sit at tabulated single-
+bond lengths and whose non-bonded pairs are kept outside the bond threshold.
+Each sample is split [fragment_1 | fragment_2 | linker-chain] with anchors at
+the junctions — a faithful miniature of the ZINC task, enabling end-to-end
+learning demos (scripts/demo_learning.py) without the released datasets.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from difflinker_tpu import constants
+from difflinker_tpu.chem.bonds import bond_order_matrix
+from difflinker_tpu.data.datasets import LinkerDataset
+
+# heavy-atom palette biased like drug-like molecules
+_TYPES = np.asarray([0, 0, 0, 0, 1, 2])  # C, C, C, C, O, N
+_MIN_NONBONDED = 1.80  # Angstrom, > any C/N/O single-bond threshold (+margin)
+
+
+def _bond_length(t1: int, t2: int) -> float:
+    a = constants.GEOM_IDX2ATOM[int(t1)]
+    b = constants.GEOM_IDX2ATOM[int(t2)]
+    return constants.BONDS_1[a][b] / 100.0  # pm -> Angstrom
+
+
+def _place_atom(rng, positions, parent_idx, length, existing):
+    """Random direction from the parent at the bond length, rejection-sampled
+    so no non-bonded pair falls under the bond threshold."""
+    for _ in range(64):
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        cand = positions[parent_idx] + d * length
+        others = np.delete(np.asarray(existing), parent_idx, axis=0)
+        if len(others) == 0 or np.linalg.norm(others - cand, axis=1).min() > _MIN_NONBONDED:
+            return cand
+    return None
+
+
+def _grow_segment(rng, types, positions, parents, n_new, attach_idx):
+    """Grow n_new atoms as a chain starting from attach_idx; returns index of
+    the last grown atom or None on failure."""
+    last = attach_idx
+    for _ in range(n_new):
+        t = int(_TYPES[rng.integers(len(_TYPES))])
+        cand = _place_atom(rng, np.asarray(positions), last,
+                           _bond_length(types[last], t), positions)
+        if cand is None:
+            return None
+        types.append(t)
+        positions.append(cand)
+        parents.append(last)
+        last = len(types) - 1
+    return last
+
+
+def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
+                         uuid: int = 0) -> Optional[Dict]:
+    """One sample in the canonical dict layout, or None if placement failed.
+
+    Topology: frag1-chain — linker-chain — frag2-chain, atoms ordered
+    [frag1 | frag2 | linker] (fragments first, as the reference datasets)."""
+    # grow the whole molecule as one chain: frag1, linker, frag2
+    types: List[int] = [int(_TYPES[rng.integers(len(_TYPES))])]
+    positions: List[np.ndarray] = [np.zeros(3)]
+    parents: List[int] = [-1]
+
+    last = _grow_segment(rng, types, positions, parents, n_frag1 - 1, 0)
+    if last is None:
+        return None
+    anchor1 = last
+    last = _grow_segment(rng, types, positions, parents, n_linker, last)
+    if last is None:
+        return None
+    linker_end = last
+    last = _grow_segment(rng, types, positions, parents, n_frag2, last)
+    if last is None:
+        return None
+    anchor2 = linker_end + 1  # first frag2 atom (bonded to the linker end)
+
+    n = len(types)
+    types_arr = np.asarray(types)
+    pos_arr = np.asarray(positions, np.float32)
+
+    # sanity: bond perception must recover a connected, valence-valid graph
+    orders = bond_order_matrix(pos_arr, types_arr)
+    valence = orders.sum(1)
+    if (valence > constants.MAX_VALENCE[types_arr]).any():
+        return None
+
+    # reorder to [frag1 | frag2 | linker]
+    frag1_idx = list(range(0, n_frag1))
+    linker_idx = list(range(n_frag1, n_frag1 + n_linker))
+    frag2_idx = list(range(n_frag1 + n_linker, n))
+    order = frag1_idx + frag2_idx + linker_idx
+    inv = np.empty(n, int)
+    inv[order] = np.arange(n)
+
+    one_hot = np.eye(constants.NUMBER_OF_ATOM_TYPES, dtype=np.float32)[
+        np.clip(types_arr[order], 0, constants.NUMBER_OF_ATOM_TYPES - 1)]
+    charges = np.asarray(
+        [list(constants.CHARGES.values())[min(t, 7)] for t in types_arr[order]],
+        np.float32)
+    n_frag = n_frag1 + len(frag2_idx)
+    frag_mask = np.zeros(n, np.float32)
+    frag_mask[:n_frag] = 1
+    link_mask = 1 - frag_mask
+    anchors = np.zeros(n, np.float32)
+    anchors[inv[anchor1]] = 1
+    anchors[inv[anchor2]] = 1
+
+    pos_out = pos_arr[order]
+    pos_out = pos_out - pos_out.mean(0, keepdims=True)
+    return {
+        'uuid': uuid, 'name': f'synthmol_{uuid}',
+        'positions': pos_out.astype(np.float32),
+        'one_hot': one_hot, 'charges': charges, 'anchors': anchors,
+        'fragment_mask': frag_mask, 'linker_mask': link_mask,
+        'num_atoms': n,
+    }
+
+
+def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
+                               frag_range=(4, 8), linker_range=(3, 8)
+                               ) -> LinkerDataset:
+    rng = np.random.default_rng(seed)
+    samples = []
+    attempts = 0
+    while len(samples) < n_samples and attempts < n_samples * 20:
+        attempts += 1
+        s = make_molecule_sample(
+            rng,
+            n_frag1=int(rng.integers(*frag_range)),
+            n_frag2=int(rng.integers(*frag_range)),
+            n_linker=int(rng.integers(*linker_range)),
+            uuid=len(samples))
+        if s is not None:
+            samples.append(s)
+    if len(samples) < n_samples:
+        raise RuntimeError(f'only generated {len(samples)}/{n_samples}')
+    return LinkerDataset(samples)

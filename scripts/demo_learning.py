@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end learning demo: train the diffusion model on geometrically valid
+synthetic molecules and watch sampling validity/connectivity climb.
+
+The released ZINC/GEOM/MOAD artifacts aren't vendored, so this is the
+framework's self-contained proof that the full loop — bucketed data → jitted
+DP train step → lax.scan sampling → geometric bond perception → metrics —
+learns real structure (an untrained model samples ~0% valid linkers).
+
+    python scripts/demo_learning.py [--epochs 300] [--eval-every 25]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=300)
+    p.add_argument('--eval-every', type=int, default=25)
+    p.add_argument('--train-size', type=int, default=2000)
+    p.add_argument('--val-size', type=int, default=64)
+    p.add_argument('--batch-size', type=int, default=128)
+    p.add_argument('--out', type=str, default=None, help='json results path')
+    args = p.parse_args()
+
+    import jax
+    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                       ExperimentConfig, ModelConfig,
+                                       TrainConfig)
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    from difflinker_tpu.sample.sampler import LinkerSampler
+    from difflinker_tpu.train.evaluation import sample_and_analyze
+    from difflinker_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        exp_name='synthetic_learning_demo',
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=96,
+                          n_layers=5, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=100),
+        data=DataConfig(),
+        train=TrainConfig(lr=4e-4, batch_size=args.batch_size,
+                          n_stability_samples=1))
+
+    print(f'generating {args.train_size}+{args.val_size} synthetic molecules...')
+    train_ds = synthetic_molecule_dataset(args.train_size, seed=0)
+    val_ds = synthetic_molecule_dataset(args.val_size, seed=1)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    results = []
+    t_start = time.time()
+
+    def evaluate(epoch, state):
+        sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+        m = sample_and_analyze(
+            sampler, val_ds.iter_batches(args.batch_size), jax.random.PRNGKey(7),
+            n_samples=1)
+        row = {'epoch': epoch, 'elapsed_s': round(time.time() - t_start, 1),
+               'validity': round(m['validity'], 4),
+               'validity_and_connectivity': round(m['validity_and_connectivity'], 4),
+               'uniqueness': round(m['uniqueness'], 4)}
+        results.append(row)
+        print(json.dumps(row))
+        return m
+
+    evaluate(0, state)
+    for epoch in range(args.epochs):
+        key, ktrain = jax.random.split(key)
+        state, metrics = trainer.fit_epoch(
+            state, train_ds.iter_batches(args.batch_size, shuffle=True,
+                                         seed=epoch, drop_last=True), ktrain)
+        if (epoch + 1) % args.eval_every == 0:
+            print(f'epoch {epoch + 1}: loss={metrics["loss"]:.4f}')
+            evaluate(epoch + 1, state)
+
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(results, f, indent=2)
+    first, last = results[0], results[-1]
+    print(f'validity {first["validity"]:.2%} -> {last["validity"]:.2%}; '
+          f'valid+connected {first["validity_and_connectivity"]:.2%} -> '
+          f'{last["validity_and_connectivity"]:.2%}')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,44 @@
+"""Geometrically realistic synthetic molecules: validity under the
+framework's own bond perception, layout invariants."""
+import numpy as np
+
+from difflinker_tpu.chem import metrics
+from difflinker_tpu.chem.molgraph import build_molecule
+from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+
+
+def test_generated_molecules_are_valid():
+    ds = synthetic_molecule_dataset(20, seed=3)
+    for s in ds.samples:
+        mol = build_molecule(s['positions'], s['one_hot'].argmax(-1),
+                             is_geom=False)
+        assert metrics.is_valid(mol)
+        assert metrics.is_connected(mol)
+
+
+def test_sample_layout():
+    ds = synthetic_molecule_dataset(10, seed=4)
+    for s in ds.samples:
+        n = s['num_atoms']
+        fm, lm = s['fragment_mask'], s['linker_mask']
+        assert fm.shape == (n,)
+        # fragments first, linker last; masks partition the atoms
+        np.testing.assert_array_equal(fm + lm, np.ones(n))
+        n_frag = int(fm.sum())
+        assert (fm[:n_frag] == 1).all() and (lm[n_frag:] == 1).all()
+        # two anchors, both fragment atoms
+        assert s['anchors'].sum() == 2
+        assert (s['anchors'] * fm == s['anchors']).all()
+        # centred
+        assert np.abs(s['positions'].mean(0)).max() < 1e-4
+
+
+def test_linker_connects_fragments():
+    """Removing the linker atoms must disconnect the two fragments."""
+    ds = synthetic_molecule_dataset(10, seed=5)
+    for s in ds.samples:
+        mol = build_molecule(s['positions'], s['one_hot'].argmax(-1),
+                             is_geom=False)
+        frag_idx = np.where(s['fragment_mask'] > 0)[0]
+        frags_only = mol.subgraph(frag_idx)
+        assert not frags_only.is_connected()
