@@ -94,3 +94,37 @@ def test_gamma_mismatch_detection(tmp_path):
     torch.save(ckpt, path)
     with pytest.raises(ValueError, match='gamma table'):
         load_ddpm_checkpoint(path)
+
+
+def test_load_learned_gamma_checkpoint(tmp_path):
+    """Checkpoints trained with noise_schedule='learned' carry GammaNetwork
+    weights instead of a table; the importer must convert them."""
+    from src.noise import GammaNetwork  # noqa: E402 (reference)
+    torch.manual_seed(1)
+    dyn = TorchDynamics(
+        n_dims=3, in_node_nf=8, context_node_nf=2, hidden_nf=16,
+        activation=torch.nn.SiLU(), n_layers=1, attention=False,
+        condition_time=True, tanh=False, norm_constant=1e-6, inv_sublayers=2,
+        sin_embedding=False, normalization_factor=100,
+        aggregation_method='sum', model='egnn_dynamics')
+    edm = TorchEDM(dynamics=dyn, in_node_nf=8, n_dims=3, timesteps=40,
+                   noise_schedule='learned', loss_type='vlb',
+                   norm_values=(1, 4, 10), norm_biases=(None, 0, 0))
+    assert isinstance(edm.gamma, GammaNetwork)
+    hp = dict(HPARAMS)
+    hp.update(hidden_nf=16, n_layers=1,
+              diffusion_noise_schedule='learned', diffusion_loss_type='vlb')
+    path = str(tmp_path / 'learned.ckpt')
+    sd = {f'edm.{k}': v for k, v in edm.state_dict().items()}
+    torch.save({'hyper_parameters': hp, 'state_dict': sd}, path)
+
+    cfg, params = load_ddpm_checkpoint(path)
+    assert cfg.diffusion.noise_schedule == 'learned'
+    assert 'gamma' in params
+
+    from difflinker_tpu.diffusion.schedules import gamma_network_apply
+    t = np.linspace(0, 1, 9, dtype=np.float32).reshape(-1, 1)
+    with torch.no_grad():
+        ref = edm.gamma(torch.tensor(t)).numpy()
+    got = np.asarray(gamma_network_apply(params['gamma'], jnp.asarray(t)))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
