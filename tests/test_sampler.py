@@ -103,3 +103,31 @@ def test_mesh_sampling_matches_single_device(setup):
     assert np.isfinite(out['positions']).all()
     nm = out['node_mask']
     assert (np.abs(out['positions'] * (1 - nm)) < 1e-6).all()
+
+
+def test_scan_matches_eager(setup):
+    """The lax.scan chain and the eager python-loop chain are the same
+    computation for the same key."""
+    cfg, params, edm, batch = setup
+    import jax.numpy as jnp
+    args = (params, jax.random.PRNGKey(5),
+            jnp.asarray(batch['positions']), jnp.asarray(batch['one_hot']),
+            jnp.asarray(batch['atom_mask']), jnp.asarray(batch['fragment_mask']),
+            jnp.asarray(batch['linker_mask']), jnp.asarray(batch['edge_mask']),
+            jnp.concatenate([jnp.asarray(batch['anchors']),
+                             jnp.asarray(batch['fragment_mask'])], -1))
+    xs1, hs1, _ = edm.sample_chain(*args)
+    xs2, hs2, _ = edm.sample_chain(*args, eager=True)
+    np.testing.assert_allclose(np.asarray(xs1), np.asarray(xs2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hs1), np.asarray(hs2))
+
+
+def test_sampling_determinism(setup):
+    """Same key -> bit-identical samples (functional RNG; supersedes the
+    reference's set_deterministic)."""
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm)
+    a = sampler.sample(batch, jax.random.PRNGKey(42), size_spec=5)
+    b = sampler.sample(batch, jax.random.PRNGKey(42), size_spec=5)
+    np.testing.assert_array_equal(a['positions'], b['positions'])
+    np.testing.assert_array_equal(a['one_hot'], b['one_hot'])
