@@ -140,3 +140,28 @@ def test_edge_mask_helpers_agree(rng):
     a = collate_lib.reference_edge_mask(nm)
     b = np.asarray(fc_edge_mask(jnp.asarray(nm)[..., None]))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fragment_edges_collate_matches_reference(rng):
+    """fragment_edges_only collate == reference collate_with_fragment_edges
+    (src/datasets.py:378-422) for the padded arrays + edge mask."""
+    import torch
+    from src.datasets import collate_with_fragment_edges as ref_collate
+
+    ds = synthetic_dataset(4, seed=7)
+    max_n = max(s['num_atoms'] for s in ds.samples)
+    ours = collate_lib.collate(ds.samples, n_nodes=max_n,
+                               fragment_edges_only=True)
+
+    tbatch = [{k: (torch.tensor(v) if isinstance(v, np.ndarray) else v)
+               for k, v in s.items()} for s in ds.samples]
+    theirs = ref_collate(tbatch)
+
+    B, N = ours['positions'].shape[:2]
+    np.testing.assert_array_equal(
+        ours['edge_mask'].reshape(B * N * N, 1),
+        theirs['edge_mask'].numpy().astype(np.float32))
+    np.testing.assert_array_equal(
+        ours['atom_mask'], theirs['atom_mask'].numpy().astype(np.float32))
+    np.testing.assert_array_equal(ours['positions'],
+                                  theirs['positions'].numpy())
