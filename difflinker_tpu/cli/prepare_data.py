@@ -26,6 +26,7 @@ def main(argv=None):
     s.add_argument('--sdf', required=True)
     s.add_argument('--out-dir', required=True)
     s.add_argument('--prefix', default='zinc_final_train')
+    s.add_argument('--workers', type=int, default=1)
 
     s = sub.add_parser('conformers', help='ETKDG conformer generation')
     s.add_argument('--smiles', required=True, help='one SMILES per line')
@@ -93,11 +94,15 @@ def main(argv=None):
     if args.cmd == 'zinc':
         from difflinker_tpu.dataprep import zinc
         os.makedirs(args.out_dir, exist_ok=True)
-        zinc.run(args.table, args.sdf,
-                 os.path.join(args.out_dir, f'{args.prefix}_mol.sdf'),
-                 os.path.join(args.out_dir, f'{args.prefix}_frag.sdf'),
-                 os.path.join(args.out_dir, f'{args.prefix}_link.sdf'),
-                 os.path.join(args.out_dir, f'{args.prefix}_table.csv'))
+        if args.workers > 1:
+            zinc.run_parallel(args.table, args.sdf, args.out_dir, args.prefix,
+                              n_workers=args.workers)
+        else:
+            zinc.run(args.table, args.sdf,
+                     os.path.join(args.out_dir, f'{args.prefix}_mol.sdf'),
+                     os.path.join(args.out_dir, f'{args.prefix}_frag.sdf'),
+                     os.path.join(args.out_dir, f'{args.prefix}_link.sdf'),
+                     os.path.join(args.out_dir, f'{args.prefix}_table.csv'))
     elif args.cmd == 'conformers':
         from difflinker_tpu.dataprep import conformers, zinc
         with open(args.smiles) as f:

@@ -102,6 +102,66 @@ def run(table_path: str, sdf_path: str, out_mol_path: str, out_frag_path: str,
     _write_sdf(linkers, out_link_path, kekulize=False)
 
 
+def _run_chunk(args):
+    (table_chunk_csv, sdf_path, out_prefix) = args
+    import pandas as pd
+    table = pd.read_csv(table_chunk_csv)
+    molecules, fragments, linkers, out_table = process_sdf(
+        sdf_path, table, progress=False)
+    out_table.to_csv(f'{out_prefix}_table.csv', index=False)
+    _write_sdf(molecules, f'{out_prefix}_mol.sdf')
+    _write_sdf(fragments, f'{out_prefix}_frag.sdf', kekulize=False)
+    _write_sdf(linkers, f'{out_prefix}_link.sdf', kekulize=False)
+    return out_prefix
+
+
+def run_parallel(table_path: str, sdf_path: str, out_dir: str, prefix: str,
+                 n_workers: int = 2):
+    """Chunked multi-process driver (reference
+    data/zinc/prepare_dataset_parallel.py): split the DeLinker table into
+    per-worker chunks, process each against the shared conformer SDF, then
+    concatenate the artifacts with re-assigned uuids."""
+    import multiprocessing as mp
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = pd.read_csv(table_path, sep=' ',
+                        names=['molecule', 'linker', 'fragments',
+                               'distance', 'angle'])
+    jobs = []
+    for w in range(n_workers):
+        chunk = table.iloc[w::n_workers]
+        chunk_csv = os.path.join(out_dir, f'_chunk_{w}.csv')
+        chunk.to_csv(chunk_csv, index=False)
+        jobs.append((chunk_csv, sdf_path, os.path.join(out_dir, f'_part_{w}')))
+    if n_workers == 1:
+        prefixes = [_run_chunk(jobs[0])]
+    else:
+        with mp.Pool(n_workers) as pool:
+            prefixes = pool.map(_run_chunk, jobs)
+
+    # merge: concatenate tables (uuid reassigned) and sdf files in order
+    import pandas as pd
+    tables = []
+    uuid = 0
+    for part in prefixes:
+        t = pd.read_csv(f'{part}_table.csv')
+        t['uuid'] = range(uuid, uuid + len(t))
+        uuid += len(t)
+        tables.append(t)
+    pd.concat(tables).to_csv(os.path.join(out_dir, f'{prefix}_table.csv'),
+                             index=False)
+    for kind in ('mol', 'frag', 'link'):
+        with open(os.path.join(out_dir, f'{prefix}_{kind}.sdf'), 'w') as out:
+            for part in prefixes:
+                with open(f'{part}_{kind}.sdf') as f:
+                    out.write(f.read())
+    for w in range(n_workers):
+        os.remove(os.path.join(out_dir, f'_chunk_{w}.csv'))
+        for kind in ('table.csv', 'mol.sdf', 'frag.sdf', 'link.sdf'):
+            os.remove(os.path.join(out_dir, f'_part_{w}_{kind}'))
+
+
 def filter_and_merge(chunk_sdf_paths: List[str], out_path: str):
     """Merge per-worker conformer chunks, keeping the lowest-energy conformer
     per SMILES (data/zinc/filter_and_merge.py:33-41)."""
