@@ -171,8 +171,11 @@ def main(argv=None):
             history.setdefault(f'{k}/train', []).append(v)
         for k, v in val_metrics.items():
             history.setdefault(f'{k}/val', []).append(v)
+        # tiny val sets can yield no mesh-divisible batches -> no metrics
+        val_loss = (f"{val_metrics['loss']:.4f}" if 'loss' in val_metrics
+                    else 'n/a')
         common.log(f'epoch {epoch}: loss/train={train_metrics["loss"]:.4f} '
-                   f'loss/val={val_metrics["loss"]:.4f} ({dt:.1f}s)')
+                   f'loss/val={val_loss} ({dt:.1f}s)')
 
         if not args.no_sampling_eval and (epoch + 1) % eval_every == 0:
             sampler = LinkerSampler(cfg, state['params'], trainer.edm)
@@ -201,7 +204,8 @@ def main(argv=None):
                           | {f'{k}/val': v for k, v in val_metrics.items()},
                           step=epoch)
         mgr.save(epoch + 1, state,
-                 metrics={'loss_val': val_metrics['loss']})
+                 metrics={'loss_val': val_metrics.get(
+                     'loss', train_metrics['loss'])})
         with open(os.path.join(run_dir, 'history.json'), 'w') as f:
             json.dump(history, f)
     common.log('training done')

@@ -186,6 +186,8 @@ class Trainer:
         for i, batch in enumerate(batches):
             key, sub = jax.random.split(key)
             jbatch = self._device_batch(batch)
+            if jbatch is None:
+                continue  # bucket group smaller than the device mesh
             thr = (self._grad_queue.threshold()
                    if self._grad_queue is not None else jnp.inf)
             state, metrics = step_fn(state, jbatch, sub,
@@ -204,7 +206,10 @@ class Trainer:
         agg: Dict[str, list] = {}
         for batch in batches:
             key, sub = jax.random.split(key)
-            metrics = step_fn(state, self._device_batch(batch), sub)
+            jbatch = self._device_batch(batch)
+            if jbatch is None:
+                continue
+            metrics = step_fn(state, jbatch, sub)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in agg.items()}
@@ -215,5 +220,19 @@ class Trainer:
                 'pocket_mask')
         sub = {k: batch[k] for k in keep if k in batch}
         if self.mesh is not None:
+            # ragged batches can't shard evenly — trim to a device multiple
+            n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
+            bs = next(iter(sub.values())).shape[0]
+            usable = (bs // n_dev) * n_dev
+            if usable == 0:
+                # bucket groups can end with fewer samples than devices;
+                # callers skip these (logged once per trainer)
+                if not getattr(self, '_warned_small_batch', False):
+                    print(f'[trainer] skipping batch of {bs} '
+                          f'(< {n_dev}-device mesh)')
+                    self._warned_small_batch = True
+                return None
+            if usable != bs:
+                sub = {k: v[:usable] for k, v in sub.items()}
             return mesh_lib.shard_batch(self.mesh, sub)
         return {k: jnp.asarray(v) for k, v in sub.items()}
