@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from typing import List, Union
 
-import numpy as np
-
 from difflinker_tpu.chem.molgraph import HAS_RDKIT, MolGraph
 
 MolLike = Union[MolGraph, 'Chem.Mol']

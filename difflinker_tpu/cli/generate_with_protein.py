@@ -20,7 +20,7 @@ import numpy as np
 
 from difflinker_tpu.cli import common
 from difflinker_tpu.cli.generate import resolve_size_spec
-from difflinker_tpu.cli.sample import load_model, parse_size_spec
+from difflinker_tpu.cli.sample import load_model
 from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
 from difflinker_tpu.chem.pdb import extract_pocket, read_pocket_pdb
 from difflinker_tpu.data.collate import collate

@@ -17,8 +17,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 from difflinker_tpu.cli import common
 from difflinker_tpu.chem.molgraph import HAS_RDKIT
 from difflinker_tpu.io.xyz import xyz_to_sdf

@@ -9,7 +9,7 @@ create_unique_smiles.py and prepare_val_test.py. CASF uses the same `run`
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

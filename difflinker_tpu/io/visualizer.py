@@ -12,7 +12,6 @@ from typing import Optional
 
 import numpy as np
 
-from difflinker_tpu import constants
 from difflinker_tpu.chem.bonds import bond_order_matrix
 from difflinker_tpu.io.xyz import load_molecule_xyz, load_xyz_files
 

@@ -20,9 +20,6 @@ parity tests in tests/test_parity_egnn.py which convert torch state_dicts).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

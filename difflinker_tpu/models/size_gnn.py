@@ -8,7 +8,7 @@ a <6 Angstrom distance graph and mean-pools node logits.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ Lightning loop; here they are first-class opt-ins on the Trainer).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

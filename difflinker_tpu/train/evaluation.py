@@ -8,7 +8,7 @@ src/delinker_utils/frag_utils.py:130-138).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import jax
 import numpy as np
