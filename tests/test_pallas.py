@@ -85,3 +85,22 @@ def test_tile_picker():
         tb, ti = _pick_tiles(b, n)
         assert b % tb == 0 and n % ti == 0
         assert tb * ti * n <= 2 * 4096 or ti == n
+
+
+def test_pallas_with_distance_graph(rng):
+    """Pocket-style dense distance-cutoff edge masks flow through the fused
+    kernels identically to the XLA path."""
+    from difflinker_tpu.ops.geometry import distance_edge_mask
+    cfg, params, h, x, node_mask, linker, _ = _setup(rng, B=2, N=16)
+    frag_only = jnp.zeros((2, 16, 1)).at[:, :4].set(1.0) * node_mask
+    pocket = jnp.zeros((2, 16, 1)).at[:, 4:7].set(1.0) * node_mask
+    em = distance_edge_mask(x * 2.0, node_mask, linker, frag_only, pocket,
+                            '4A')
+    h_ref, x_ref = egnn_lib.egnn_apply(params, h, x, node_mask, linker, em,
+                                       cfg=cfg)
+    h_pal, x_pal = egnn_pallas.egnn_apply_pallas(params, h, x, node_mask,
+                                                 linker, em, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               atol=1e-4, rtol=1e-3)
