@@ -118,3 +118,31 @@ def test_size_training_step(rng):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_size_gnn_train_mode_batchnorm_parity(rng):
+    """BatchNorm TRAIN-mode parity: batch statistics over all (B·N) rows
+    including padding (src/egnn.py:31-38) and torch-style unbiased running
+    stats, verified against a torch SizeGNN in train mode."""
+    from difflinker_tpu.data.collate import reference_edge_mask
+    batch = make_batch(rng, B=2, N=12, nf=8, n_frag=6, n_real=10)
+    batch['edge_mask'] = reference_edge_mask(batch['fragment_mask'][..., 0])
+
+    torch.manual_seed(9)
+    tmodel = TorchSizeGNN(in_node_nf=8, hidden_nf=16, out_node_nf=10,
+                          n_layers=2, normalization='batch_norm').train()
+    # convert BEFORE the torch forward mutates its running stats
+    params, state = convert_size_gnn(tmodel.state_dict(), '', n_layers=2)
+    ref = _torch_forward(tmodel, batch, 8)  # torch module left in train mode
+    pred = SizePredictor(in_node_nf=8, hidden_nf=16, out_node_nf=10, n_layers=2)
+    out, new_state = pred.forward(params, batch, state=state, train=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+    # running stats updated like torch (momentum 0.1, unbiased variance)
+    t_bn = tmodel.gcl1.node_mlp[1]
+    got_mean = np.asarray(new_state['gcls'][0]['bn0']['mean'])
+    got_var = np.asarray(new_state['gcls'][0]['bn0']['var'])
+    np.testing.assert_allclose(got_mean, t_bn.running_mean.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_var, t_bn.running_var.numpy(),
+                               atol=1e-4, rtol=1e-3)
