@@ -28,7 +28,10 @@ import jax.numpy as jnp
 def _np(t):
     if isinstance(t, np.ndarray):
         return t
-    return t.detach().cpu().numpy()
+    # copy: .numpy() views torch memory, and CPU jax can keep numpy buffers
+    # zero-copy — without the copy, later in-place torch mutations (e.g.
+    # BatchNorm running-stat updates) would leak into converted params
+    return np.array(t.detach().cpu().numpy())
 
 
 def _linear(sd: Mapping, prefix: str, bias: bool = True) -> Dict:
