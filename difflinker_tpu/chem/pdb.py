@@ -45,10 +45,12 @@ def parse_pdb(path: str, include_hetatm: bool = False) -> List[PdbAtom]:
             x = float(line[30:38])
             y = float(line[38:46])
             z = float(line[46:54])
-            element = line[76:78].strip().upper()
+            element = line[76:78].strip()
             if not element:
                 # fall back to the atom-name convention (first alpha char)
-                element = ''.join(c for c in name if c.isalpha())[:1].upper()
+                element = ''.join(c for c in name if c.isalpha())[:1]
+            # vocabulary keys are title-case ('Cl', 'Br'); PDB files vary
+            element = element.capitalize() if len(element) == 2 else element.upper()
             atoms.append(PdbAtom(name, element,
                                  np.asarray([x, y, z], np.float32),
                                  res_id, chain, rec == 'HETATM'))
@@ -61,9 +63,11 @@ def extract_pocket(fragment_coords: np.ndarray, pdb_path: str,
     """Contact-residue pocket (generate_with_protein.py:85-147).
 
     Returns (positions (M, 3), one_hot (M, 9), charges (M,)) over the GEOM
-    vocabulary; unknown elements are dropped, matching the reference.
+    vocabulary; unknown elements are dropped, matching the reference. HETATM
+    records are included — BioPython's get_residues() (which the reference
+    iterates) yields hetero residues too.
     """
-    atoms = parse_pdb(pdb_path)
+    atoms = parse_pdb(pdb_path, include_hetatm=True)
     if not atoms:
         raise ValueError(f'no ATOM records in {pdb_path}')
     coords = np.stack([a.coord for a in atoms])
@@ -97,8 +101,8 @@ def extract_pocket(fragment_coords: np.ndarray, pdb_path: str,
 
 def read_pocket_pdb(pdb_path: str, backbone_atoms_only: bool = False):
     """User-supplied pre-cut pocket file (generate_with_pocket.py:85-114):
-    every parsed atom is pocket."""
-    atoms = parse_pdb(pdb_path)
+    every parsed atom (incl. HETATM) is pocket."""
+    atoms = parse_pdb(pdb_path, include_hetatm=True)
     a2i = constants.GEOM_ATOM2IDX
     pos, one_hot, charges = [], [], []
     for a in atoms:

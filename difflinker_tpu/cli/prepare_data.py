@@ -88,6 +88,9 @@ def main(argv=None):
     s.add_argument('--val-pdbs', required=True)
     s.add_argument('--out-dir', required=True)
     s.add_argument('--prefix', default='MOAD')
+    s.add_argument('--frag-sdf', default=None,
+                   help='with --link-sdf: also write aligned per-split sdf/pkl')
+    s.add_argument('--link-sdf', default=None)
 
     args = p.parse_args(argv)
 
@@ -151,7 +154,9 @@ def main(argv=None):
         from difflinker_tpu.dataprep import moad
         counts = moad.filter_and_split(args.table, args.pockets,
                                        args.test_pdbs, args.val_pdbs,
-                                       args.out_dir, args.prefix)
+                                       args.out_dir, args.prefix,
+                                       frag_sdf_path=args.frag_sdf,
+                                       link_sdf_path=args.link_sdf)
         print(counts)
     return 0
 

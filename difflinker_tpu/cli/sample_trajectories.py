@@ -53,7 +53,8 @@ def main(argv=None):
     assert chain.shape[0] == keep
 
     is_geom = cfg.data.is_geom
-    nf = cfg.model.in_node_nf
+    # exclude the trailing charge column from the one-hot decode when present
+    nf = cfg.model.in_node_nf - int(cfg.data.include_charges)
     for i in range(chain.shape[1]):
         name = str(np.asarray(batch['uuid']).tolist()[i])
         mol_dir = os.path.join(args.out, f'mol_{name}')

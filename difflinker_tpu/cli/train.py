@@ -86,7 +86,9 @@ def save_epoch_animation(cfg, sampler, val_ds, epoch, key):
                          keep_frames=frames)
     mol_dir = os.path.join(cfg.train.samples_dir, f'epoch_{epoch}', 'mol_0')
     os.makedirs(mol_dir, exist_ok=True)
-    nf = cfg.model.in_node_nf
+    # one-hot columns only — exclude the trailing charge column when present
+    # (reference src/lightning.py:314)
+    nf = cfg.model.in_node_nf - int(cfg.data.include_charges)
     node_mask = np.repeat(out['node_mask'][0][None], frames, axis=0)
     save_xyz_file(mol_dir, out['chain'][:, 0, :, 3:3 + nf],
                   out['chain'][:, 0, :, :3], node_mask,
@@ -151,6 +153,10 @@ def main(argv=None):
                f'batch={cfg.train.batch_size}')
 
     history = {}
+    history_path = os.path.join(run_dir, 'history.json')
+    if start_epoch and os.path.exists(history_path):
+        with open(history_path) as f:
+            history = json.load(f)  # keep pre-resume series
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         key, ktrain, keval, ksample = jax.random.split(key, 4)
@@ -171,6 +177,10 @@ def main(argv=None):
             history.setdefault(f'{k}/train', []).append(v)
         for k, v in val_metrics.items():
             history.setdefault(f'{k}/val', []).append(v)
+        if 'loss' not in train_metrics:
+            raise RuntimeError(
+                'no trainable batches this epoch — every bucket group was '
+                'smaller than the device mesh; reduce --mesh or add data')
         # tiny val sets can yield no mesh-divisible batches -> no metrics
         val_loss = (f"{val_metrics['loss']:.4f}" if 'loss' in val_metrics
                     else 'n/a')
@@ -206,7 +216,7 @@ def main(argv=None):
         mgr.save(epoch + 1, state,
                  metrics={'loss_val': val_metrics.get(
                      'loss', train_metrics['loss'])})
-        with open(os.path.join(run_dir, 'history.json'), 'w') as f:
+        with open(history_path, 'w') as f:
             json.dump(history, f)
     common.log('training done')
     if wandb_run is not None:

@@ -92,23 +92,41 @@ def stratified_split(keys: Sequence[Tuple], n_val: int, n_test: int,
     (data/geom/train_test_split.py:42-55)."""
     keys = list(keys)
     n = len(keys)
+    assert n_val + n_test <= n, 'not enough samples for the requested split'
     rng = np.random.default_rng(seed)
     by_key: Dict[Tuple, list] = {}
     for i, k in enumerate(keys):
         by_key.setdefault(k, []).append(i)
-
-    val, test = [], []
-    for k, idxs in sorted(by_key.items()):
-        idxs = np.asarray(idxs)
+    strata = sorted(by_key.items())
+    for _, idxs in strata:
         rng.shuffle(idxs)
-        kv = int(round(len(idxs) / n * n_val))
-        kt = int(round(len(idxs) / n * n_test))
+
+    def allocate(total: int) -> list:
+        """Largest-remainder apportionment of `total` picks across strata —
+        hits the exact requested size while staying proportional."""
+        quotas = [len(idxs) / n * total for _, idxs in strata]
+        counts = [int(q) for q in quotas]
+        short = total - sum(counts)
+        order = np.argsort([c - q for q, c in zip(quotas, counts)])
+        for j in order[:short]:
+            counts[j] += 1
+        return counts
+
+    val_counts = allocate(n_val)
+    test_counts = allocate(n_test)
+    val, test = [], []
+    for (k, idxs), kv, kt in zip(strata, val_counts, test_counts):
+        kv = min(kv, len(idxs))
+        kt = min(kt, len(idxs) - kv)
         val.extend(idxs[:kv])
         test.extend(idxs[kv:kv + kt])
-    val, test = set(val), set(test)
-    # trim/refill to the exact requested sizes
-    val = list(val)[:n_val]
-    test = [i for i in test if i not in set(val)][:n_test]
+    # tiny strata can undershoot; top up from the largest remaining strata
+    remaining = [i for _, idxs in strata for i in idxs
+                 if i not in set(val) and i not in set(test)]
+    val.extend(remaining[:max(0, n_val - len(val))])
+    taken = set(val) | set(test)
+    remaining = [i for i in remaining if i not in taken]
+    test.extend(remaining[:max(0, n_test - len(test))])
     train = [i for i in range(n) if i not in set(val) and i not in set(test)]
     return {'train': np.asarray(sorted(train)),
             'val': np.asarray(sorted(val)),

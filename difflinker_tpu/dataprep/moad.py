@@ -235,7 +235,13 @@ def prepare_moad_dataset(table_path: str, sdf_path: str, proteins_dir: str,
 
 def filter_and_split(table_path: str, pockets_path: str, test_pdbs_path: str,
                      val_pdbs_path: str, out_dir: str, prefix: str = 'MOAD',
-                     max_total_atoms: int = 1000):
+                     max_total_atoms: int = 1000,
+                     frag_sdf_path: str = None, link_sdf_path: str = None):
+    """Filter + pdb-based split. When the fragment/linker SDFs are given,
+    writes fully ALIGNED per-split artifacts — `{prefix}_{split}_table.csv`,
+    `_frag.sdf`, `_link.sdf`, `_pockets.pkl`, row i of each referring to the
+    same complex — exactly what LinkerDataset.from_pt('{prefix}_{split}.full')
+    expects to preprocess (positional pairing, data/datasets.py)."""
     import pandas as pd
 
     table = pd.read_csv(table_path)
@@ -250,8 +256,8 @@ def filter_and_split(table_path: str, pockets_path: str, test_pdbs_path: str,
         if types - ALLOWED_TYPES or len(p['full_coord']) == 0:
             discard[i] = True
 
-    test_pdbs = set(np.loadtxt(test_pdbs_path, dtype=str).tolist())
-    val_pdbs = set(np.loadtxt(val_pdbs_path, dtype=str).tolist())
+    test_pdbs = set(np.loadtxt(test_pdbs_path, dtype=str, ndmin=1).tolist())
+    val_pdbs = set(np.loadtxt(val_pdbs_path, dtype=str, ndmin=1).tolist())
 
     def assign(name):
         pdb = str(name).split('_')[0]
@@ -264,10 +270,30 @@ def filter_and_split(table_path: str, pockets_path: str, test_pdbs_path: str,
     table['discard'] = discard
     table['dataset'] = [assign(n) for n in table.molecule_name.values]
     os.makedirs(out_dir, exist_ok=True)
+
+    frag_mols = link_mols = None
+    if frag_sdf_path and link_sdf_path:
+        from difflinker_tpu.chem.io_rdkit import read_sdf
+        frag_mols = list(read_sdf(frag_sdf_path))
+        link_mols = list(read_sdf(link_sdf_path))
+
     counts = {}
     for name in ('train', 'val', 'test'):
-        sub = table[(~table.discard) & (table.dataset == name)]
+        keep = (~table.discard) & (table.dataset == name)
+        sub = table[keep]
+        idxs = np.where(keep.values)[0]
         sub.to_csv(os.path.join(out_dir, f'{prefix}_{name}_table.csv'),
                    index=False)
+        with open(os.path.join(out_dir, f'{prefix}_{name}_pockets.pkl'),
+                  'wb') as f:
+            pickle.dump([pockets[i] for i in idxs], f)
+        if frag_mols is not None:
+            from difflinker_tpu.dataprep.zinc import _write_sdf
+            _write_sdf([frag_mols[i] for i in idxs],
+                       os.path.join(out_dir, f'{prefix}_{name}_frag.sdf'),
+                       kekulize=False)
+            _write_sdf([link_mols[i] for i in idxs],
+                       os.path.join(out_dir, f'{prefix}_{name}_link.sdf'),
+                       kekulize=False)
         counts[name] = len(sub)
     return counts

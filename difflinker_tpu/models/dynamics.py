@@ -70,6 +70,7 @@ def dynamics_apply(
     *,
     cfg: ModelConfig,
     remat: bool = True,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Predict ε̂ = [vel, h_out] on a padded batch.
 
@@ -103,7 +104,10 @@ def dynamics_apply(
             cfg.graph_type.value)
 
     if cfg.model == 'egnn_dynamics':
-        use_pallas = (cfg.kernel_impl == 'pallas' and not cfg.sin_embedding
+        # pallas kernels are inference-only (no autodiff rule): loss paths
+        # pass allow_pallas=False and keep the XLA implementation
+        use_pallas = (allow_pallas and cfg.kernel_impl == 'pallas'
+                      and not cfg.sin_embedding
                       and cfg.aggregation_method == 'sum')
         if use_pallas:
             from difflinker_tpu.ops.egnn_pallas import egnn_apply_pallas

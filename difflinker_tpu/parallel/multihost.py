@@ -21,8 +21,12 @@ from difflinker_tpu.parallel import mesh as mesh_lib
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """jax.distributed.initialize wrapper; no-op when single-process."""
-    if num_processes in (None, 1):
+    """jax.distributed.initialize wrapper.
+
+    With all args None this performs the standard auto-detecting
+    initialization (TPU pods); pass num_processes=1 to explicitly no-op for
+    single-process runs."""
+    if num_processes == 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

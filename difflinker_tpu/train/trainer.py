@@ -233,6 +233,10 @@ class Trainer:
                     self._warned_small_batch = True
                 return None
             if usable != bs:
+                if not getattr(self, '_warned_trim', False):
+                    print(f'[trainer] trimming ragged batch {bs} -> {usable} '
+                          f'to fit the {n_dev}-device mesh (logged once)')
+                    self._warned_trim = True
                 sub = {k: v[:usable] for k, v in sub.items()}
             return mesh_lib.shard_batch(self.mesh, sub)
         return {k: jnp.asarray(v) for k, v in sub.items()}
