@@ -11,9 +11,26 @@ from typing import Optional
 import optax
 
 
-def adamw_amsgrad(lr: float, weight_decay: float = 1e-12,
+def build_lr(lr: float, schedule: str = 'constant',
+             decay_steps: Optional[int] = None,
+             warmup_steps: int = 0):
+    """Learning-rate schedule. The reference uses a constant lr; cosine decay
+    (with optional linear warmup) is a TPU-side extra for longer runs."""
+    if schedule == 'constant':
+        return lr
+    if schedule == 'cosine':
+        assert decay_steps, 'cosine schedule needs decay_steps'
+        if warmup_steps:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, lr, warmup_steps, decay_steps, end_value=lr * 0.01)
+        return optax.cosine_decay_schedule(lr, decay_steps, alpha=0.01)
+    raise ValueError(schedule)
+
+
+def adamw_amsgrad(lr, weight_decay: float = 1e-12,
                   amsgrad: bool = True,
                   grad_clip_norm: Optional[float] = None):
+    """lr may be a float or an optax schedule (see build_lr)."""
     scale = optax.scale_by_amsgrad() if amsgrad else optax.scale_by_adam()
     parts = []
     if grad_clip_norm is not None:

@@ -61,10 +61,15 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None,
                  grad_clip_norm: Optional[float] = None,
                  ema_beta: Optional[float] = None,
-                 adaptive_clip: bool = False):
+                 adaptive_clip: bool = False,
+                 lr_schedule: str = 'constant',
+                 decay_steps: Optional[int] = None,
+                 warmup_steps: int = 0):
+        from difflinker_tpu.train.optim import build_lr
         self.cfg = cfg
         self.edm = make_edm(cfg.model, cfg.diffusion)
-        self.tx = adamw_amsgrad(cfg.train.lr, cfg.train.weight_decay,
+        lr = build_lr(cfg.train.lr, lr_schedule, decay_steps, warmup_steps)
+        self.tx = adamw_amsgrad(lr, cfg.train.weight_decay,
                                 cfg.train.amsgrad, grad_clip_norm)
         self.mesh = mesh
         self.has_pocket = cfg.data.has_pocket

@@ -25,6 +25,11 @@ def main():
     p.add_argument('--val-size', type=int, default=64)
     p.add_argument('--batch-size', type=int, default=128)
     p.add_argument('--out', type=str, default=None, help='json results path')
+    p.add_argument('--hidden', type=int, default=96)
+    p.add_argument('--layers', type=int, default=5)
+    p.add_argument('--lr', type=float, default=4e-4)
+    p.add_argument('--cosine', action='store_true',
+                   help='cosine lr decay over the run')
     args = p.parse_args()
 
     import jax
@@ -38,18 +43,23 @@ def main():
 
     cfg = ExperimentConfig(
         exp_name='synthetic_learning_demo',
-        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=96,
-                          n_layers=5, norm_constant=1e-6),
+        model=ModelConfig(in_node_nf=8, context_node_nf=2,
+                          hidden_nf=args.hidden, n_layers=args.layers,
+                          norm_constant=1e-6),
         diffusion=DiffusionConfig(timesteps=100),
         data=DataConfig(),
-        train=TrainConfig(lr=4e-4, batch_size=args.batch_size,
+        train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
                           n_stability_samples=1))
 
     print(f'generating {args.train_size}+{args.val_size} synthetic molecules...')
     train_ds = synthetic_molecule_dataset(args.train_size, seed=0)
     val_ds = synthetic_molecule_dataset(args.val_size, seed=1)
 
-    trainer = Trainer(cfg)
+    steps_per_epoch = max(args.train_size // args.batch_size, 1)
+    trainer = Trainer(cfg,
+                      lr_schedule='cosine' if args.cosine else 'constant',
+                      decay_steps=args.epochs * steps_per_epoch,
+                      warmup_steps=5 * steps_per_epoch if args.cosine else 0)
     state = trainer.init_state(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     results = []
