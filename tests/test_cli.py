@@ -64,3 +64,49 @@ def test_case_study_inputs_parse():
     bb_pos, _, _ = extract_pocket(pos, os.path.join(HSP90, '3hz1_protein.pdb'),
                                   backbone_atoms_only=True)
     assert len(bb_pos) < len(pk_pos)
+
+
+def test_sample_reformat_naming_contract(tmp_path):
+    """End-to-end sample -> reformat on CPU: per-sample SDFs must be distinct
+    files (regression for the '{uuid}_' stem collision)."""
+    import json
+    import jax
+    from difflinker_tpu.cli import sample as sample_cli
+    from difflinker_tpu.cli import reformat as reformat_cli
+    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                       ExperimentConfig, ModelConfig,
+                                       TrainConfig)
+    from difflinker_tpu.io import checkpoints as ckpt_lib
+    from difflinker_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=8,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=3),
+        data=DataConfig(), train=TrainConfig(batch_size=2))
+    run_dir = str(tmp_path / 'run')
+    ckpt_lib.save_config(cfg, run_dir)
+    trainer = Trainer(cfg)
+    mgr = ckpt_lib.CheckpointManager(run_dir)
+    mgr.save(1, trainer.init_state(jax.random.PRNGKey(0)))
+    mgr.close()
+
+    out = str(tmp_path / 'samples')
+    rc = sample_cli.main(['--run', run_dir, '--synthetic', '2',
+                          '--n-samples', '2', '--batch-size', '2',
+                          '--out', out])
+    assert rc == 0
+    files = sorted(os.listdir(os.path.join(out, '0')))
+    assert files == ['0_.xyz', '1_.xyz', 'frag_.xyz', 'true_.xyz']
+
+    smi_table = str(tmp_path / 'true.smi')
+    with open(smi_table, 'w') as f:
+        f.write('CCO CC\nCCO CC\n')
+    fmt = str(tmp_path / 'fmt')
+    rc = reformat_cli.main(['--samples', out, '--true-smiles', smi_table,
+                            '--out', fmt, '--name', 'd'])
+    assert rc == 0
+    rows = open(os.path.join(fmt, 'd.smi')).read().splitlines()
+    assert len(rows) == 4  # 2 uuids x 2 samples
+    sdfs = sorted(os.listdir(os.path.join(out, '0', 'obabel')))
+    assert sdfs == ['0_.sdf', '1_.sdf']

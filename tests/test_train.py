@@ -131,3 +131,22 @@ def test_clip_by_norm():
     assert np.isclose(cn, 1.0, atol=1e-5)
     same, _ = clip_by_norm(g, jnp.inf)
     np.testing.assert_array_equal(np.asarray(same['a']), np.asarray(g['a']))
+
+
+def test_lr_schedules():
+    from difflinker_tpu.train.optim import build_lr
+    import optax
+    assert build_lr(2e-4) == 2e-4
+    sched = build_lr(1e-3, 'cosine', decay_steps=100)
+    assert np.isclose(float(sched(0)), 1e-3)
+    assert float(sched(100)) < 2e-4  # decayed
+    warm = build_lr(1e-3, 'cosine', decay_steps=100, warmup_steps=10)
+    assert float(warm(0)) == 0.0
+    assert np.isclose(float(warm(10)), 1e-3, rtol=1e-3)
+    # trainer accepts a schedule end-to-end
+    trainer = Trainer(_cfg(), lr_schedule='cosine', decay_steps=10)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _batches(n=1, batch_size=8)[0]
+    state, metrics = trainer.compiled_train_step()(
+        state, trainer._device_batch(batch), jax.random.PRNGKey(1), jnp.inf)
+    assert np.isfinite(metrics['loss'])
