@@ -1,0 +1,81 @@
+"""Packed input pipeline: pre-padded per-bucket arrays with O(1) batch slicing.
+
+`LinkerDataset.iter_batches` collates python dicts per batch — fine for eval,
+but at high step rates the per-epoch python loop becomes the bottleneck
+(single-core hosts feed a ~20 ms TPU train step at only ~3-5 s/epoch). A
+PackedDataset pads every sample into per-bucket contiguous arrays ONCE;
+epochs then just permute row indices and take numpy gathers — no python per
+sample, no re-padding, and the dense edge mask is rebuilt per batch with one
+vectorised outer product.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from difflinker_tpu import constants
+from difflinker_tpu.data.collate import pick_bucket, reference_edge_mask
+
+_PAD_2D = ('positions', 'one_hot')
+_PAD_1D = ('charges', 'anchors', 'fragment_mask', 'linker_mask',
+           'pocket_mask', 'fragment_only_mask')
+
+
+class PackedDataset:
+    """Per-bucket contiguous storage of padded samples."""
+
+    def __init__(self, samples, buckets: Optional[Sequence[int]] = None):
+        self.buckets = tuple(buckets or constants.DEFAULT_SIZE_BUCKETS)
+        by_bucket: Dict[int, list] = {}
+        for i, s in enumerate(samples):
+            b = pick_bucket(int(np.asarray(s['positions']).shape[0]),
+                            self.buckets)
+            by_bucket.setdefault(b, []).append(i)
+
+        self.packs: Dict[int, Dict[str, np.ndarray]] = {}
+        for bucket, idxs in sorted(by_bucket.items()):
+            pack: Dict[str, np.ndarray] = {}
+            group = [samples[i] for i in idxs]
+            m = len(group)
+            for key in _PAD_2D:
+                width = np.asarray(group[0][key]).shape[-1]
+                arr = np.zeros((m, bucket, width), np.float32)
+                for r, s in enumerate(group):
+                    v = np.asarray(s[key], np.float32)
+                    arr[r, :v.shape[0]] = v
+                pack[key] = arr
+            for key in _PAD_1D:
+                if key not in group[0]:
+                    continue
+                arr = np.zeros((m, bucket, 1), np.float32)
+                for r, s in enumerate(group):
+                    v = np.asarray(s[key], np.float32).reshape(-1)
+                    arr[r, :v.shape[0], 0] = v
+                pack[key] = arr
+            pack['atom_mask'] = ((pack['fragment_mask'] > 0)
+                                 | (pack['linker_mask'] > 0)).astype(np.float32)
+            pack['uuid'] = np.asarray([s.get('uuid', i)
+                                       for i, s in zip(idxs, group)])
+            self.packs[bucket] = pack
+
+    def __len__(self):
+        return sum(p['positions'].shape[0] for p in self.packs.values())
+
+    def iter_batches(self, batch_size: int, *, shuffle: bool = False,
+                     seed: int = 0, drop_last: bool = False
+                     ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        for bucket, pack in self.packs.items():
+            m = pack['positions'].shape[0]
+            order = np.arange(m)
+            if shuffle:
+                rng.shuffle(order)
+            for lo in range(0, m, batch_size):
+                rows = order[lo:lo + batch_size]
+                if drop_last and len(rows) < batch_size:
+                    continue
+                batch = {k: v[rows] for k, v in pack.items()}
+                batch['edge_mask'] = reference_edge_mask(
+                    batch['atom_mask'][..., 0])
+                yield batch

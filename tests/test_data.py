@@ -165,3 +165,38 @@ def test_fragment_edges_collate_matches_reference(rng):
         ours['atom_mask'], theirs['atom_mask'].numpy().astype(np.float32))
     np.testing.assert_array_equal(ours['positions'],
                                   theirs['positions'].numpy())
+
+
+def test_packed_dataset_matches_collate():
+    """PackedDataset batches == per-batch collate on the same samples."""
+    from difflinker_tpu.data.packed import PackedDataset
+    ds = synthetic_dataset(20, seed=9)
+    packed = PackedDataset(ds.samples)
+    assert len(packed) == 20
+
+    ref_batches = {}
+    for b in ds.iter_batches(4):
+        for u, i in zip(np.asarray(b['uuid']).tolist(),
+                        range(b['positions'].shape[0])):
+            ref_batches[u] = {k: b[k][i] for k in
+                              ('positions', 'one_hot', 'atom_mask',
+                               'fragment_mask', 'linker_mask', 'anchors')}
+    seen = 0
+    for b in packed.iter_batches(4):
+        B, N = b['positions'].shape[:2]
+        assert b['edge_mask'].shape == (B, N, N, 1)
+        for i, u in enumerate(np.asarray(b['uuid']).tolist()):
+            for k, ref in ref_batches[u].items():
+                np.testing.assert_array_equal(b[k][i], ref, err_msg=k)
+            seen += 1
+    assert seen == 20
+
+
+def test_packed_dataset_speed_shape():
+    """Packing gives identical edge-mask values to the canonical collate."""
+    from difflinker_tpu.data.packed import PackedDataset
+    ds = synthetic_dataset(8, seed=10)
+    packed = PackedDataset(ds.samples)
+    b = next(packed.iter_batches(8))
+    em = b['edge_mask'][..., 0]
+    assert set(np.unique(em)) <= {0.0, -1.0, -2.0}
