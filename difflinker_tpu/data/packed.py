@@ -62,6 +62,36 @@ class PackedDataset:
     def __len__(self):
         return sum(p['positions'].shape[0] for p in self.packs.values())
 
+    def stacked_epoch(self, batch_size: int, *, shuffle: bool = False,
+                      seed: int = 0) -> Dict[int, Dict[str, np.ndarray]]:
+        """One epoch as per-bucket STACKED batch arrays (S, B, ...) — the
+        input for Trainer.fit_epoch_scanned, which lax.scans the train step
+        over the S axis so an epoch is ONE device dispatch. Ragged tails are
+        dropped (shuffling rotates which samples they are)."""
+        rng = np.random.default_rng(seed)
+        out: Dict[int, Dict[str, np.ndarray]] = {}
+        for bucket, pack in self.packs.items():
+            m = pack['positions'].shape[0]
+            n_batches = m // batch_size
+            if n_batches == 0:
+                continue
+            order = np.arange(m)
+            if shuffle:
+                rng.shuffle(order)
+            rows = order[:n_batches * batch_size]
+            stacked = {}
+            for k, v in pack.items():
+                if k == 'uuid':
+                    continue
+                g = v[rows]
+                stacked[k] = g.reshape(n_batches, batch_size, *v.shape[1:])
+            am = stacked['atom_mask'][..., 0]
+            eye = np.eye(am.shape[-1], dtype=np.float32)
+            stacked['edge_mask'] = (am[..., :, None] * am[..., None, :]
+                                    * -(1.0 + eye))[..., None]
+            out[bucket] = stacked
+        return out
+
     def iter_batches(self, batch_size: int, *, shuffle: bool = False,
                      seed: int = 0, drop_last: bool = False
                      ) -> Iterator[Dict[str, np.ndarray]]:

@@ -152,6 +152,53 @@ class Trainer:
         _, terms = self.loss_fn(state['params'], batch, key, training=False)
         return {k: v for k, v in terms.items() if k != 'nan_flag'}
 
+    def epoch_scan_step(self, state: Dict, stacked: Dict, key,
+                        max_grad_norm=jnp.inf):
+        """A whole epoch (or shard of one) as ONE jitted program: lax.scan the
+        train step over stacked (S, B, ...) batches. Collapses S dispatches
+        into one — essential when per-dispatch latency rivals step time
+        (small models, tunneled TPUs). Returns (state, mean metrics)."""
+        def body(carry, xs):
+            st, i = carry
+            batch = xs
+            st, metrics = self.train_step(
+                st, batch, jax.random.fold_in(key, i), max_grad_norm)
+            return (st, i + 1), metrics
+        (state, _), metrics = jax.lax.scan(
+            body, (state, jnp.zeros((), jnp.int32)), stacked)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    def compiled_epoch_scan(self):
+        if not hasattr(self, '_epoch_scan') or self._epoch_scan is None:
+            fn = jax.jit(self.epoch_scan_step)
+            if self.mesh is not None:
+                rep = mesh_lib.replicated(self.mesh)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                dsh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
+                fn = jax.jit(self.epoch_scan_step,
+                             in_shardings=(rep, dsh, rep, rep),
+                             out_shardings=(rep, rep))
+            self._epoch_scan = fn
+        return self._epoch_scan
+
+    def fit_epoch_scanned(self, state: Dict, packed, batch_size: int, key,
+                          shuffle: bool = True, seed: int = 0):
+        """fit_epoch over a data.packed.PackedDataset with one dispatch per
+        (bucket, epoch)."""
+        agg = {}
+        step_fn = self.compiled_epoch_scan()
+        for bucket, stacked in packed.stacked_epoch(
+                batch_size, shuffle=shuffle, seed=seed).items():
+            key, sub = jax.random.split(key)
+            keep = ('positions', 'one_hot', 'atom_mask', 'fragment_mask',
+                    'linker_mask', 'anchors', 'edge_mask',
+                    'fragment_only_mask', 'pocket_mask')
+            js = {k: jnp.asarray(v) for k, v in stacked.items() if k in keep}
+            state, metrics = step_fn(state, js, sub, jnp.inf)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        return state, {k: float(np.mean(v)) for k, v in agg.items()}
+
     # -- jitted/sharded entry points -------------------------------------------
 
     def compiled_train_step(self):

@@ -51,8 +51,11 @@ def main():
         train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
                           n_stability_samples=1))
 
-    print(f'generating {args.train_size}+{args.val_size} synthetic molecules...')
-    train_ds = synthetic_molecule_dataset(args.train_size, seed=0)
+    print(f'generating {args.train_size}+{args.val_size} synthetic molecules...',
+          flush=True)
+    from difflinker_tpu.data.packed import PackedDataset
+    train_raw = synthetic_molecule_dataset(args.train_size, seed=0)
+    train_ds = PackedDataset(train_raw.samples)  # O(1) per-epoch batching
     val_ds = synthetic_molecule_dataset(args.val_size, seed=1)
 
     steps_per_epoch = max(args.train_size // args.batch_size, 1)
@@ -75,17 +78,19 @@ def main():
                'validity_and_connectivity': round(m['validity_and_connectivity'], 4),
                'uniqueness': round(m['uniqueness'], 4)}
         results.append(row)
-        print(json.dumps(row))
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(results, f, indent=2)
+        print(json.dumps(row), flush=True)
         return m
 
     evaluate(0, state)
     for epoch in range(args.epochs):
         key, ktrain = jax.random.split(key)
-        state, metrics = trainer.fit_epoch(
-            state, train_ds.iter_batches(args.batch_size, shuffle=True,
-                                         seed=epoch, drop_last=True), ktrain)
+        state, metrics = trainer.fit_epoch_scanned(
+            state, train_ds, args.batch_size, ktrain, shuffle=True, seed=epoch)
         if (epoch + 1) % args.eval_every == 0:
-            print(f'epoch {epoch + 1}: loss={metrics["loss"]:.4f}')
+            print(f'epoch {epoch + 1}: loss={metrics["loss"]:.4f}', flush=True)
             evaluate(epoch + 1, state)
 
     if args.out:

@@ -150,3 +150,22 @@ def test_lr_schedules():
     state, metrics = trainer.compiled_train_step()(
         state, trainer._device_batch(batch), jax.random.PRNGKey(1), jnp.inf)
     assert np.isfinite(metrics['loss'])
+
+
+def test_fit_epoch_scanned():
+    """One-dispatch-per-epoch training learns like the python loop."""
+    from difflinker_tpu.data.packed import PackedDataset
+    from difflinker_tpu.data.datasets import synthetic_dataset
+    cfg = _cfg()
+    ds = synthetic_dataset(32, seed=0)
+    packed = PackedDataset(ds.samples)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for e in range(8):
+        key, k = jax.random.split(key)
+        state, m = trainer.fit_epoch_scanned(state, packed, 8, k, seed=e)
+        losses.append(m['loss'])
+    assert losses[-1] < losses[0]
+    assert int(state['step']) == 8 * len(list(packed.iter_batches(8, drop_last=True)))
