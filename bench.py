@@ -21,7 +21,7 @@ import numpy as np
 REFERENCE_LINKERS_PER_SEC = 0.0197
 
 # flagship ZINC shapes
-BATCH = 128
+BATCH = 256
 N_NODES = 32
 T = 500
 N_FRAG = 14
