@@ -72,25 +72,33 @@ class PackedDataset:
         out: Dict[int, Dict[str, np.ndarray]] = {}
         for bucket, pack in self.packs.items():
             m = pack['positions'].shape[0]
-            n_batches = m // batch_size
-            if n_batches == 0:
-                continue
+            # buckets smaller than batch_size still train: one batch of m
+            bs = min(batch_size, m)
+            n_batches = m // bs
             order = np.arange(m)
             if shuffle:
                 rng.shuffle(order)
-            rows = order[:n_batches * batch_size]
+            rows = order[:n_batches * bs]
             stacked = {}
             for k, v in pack.items():
                 if k == 'uuid':
                     continue
                 g = v[rows]
-                stacked[k] = g.reshape(n_batches, batch_size, *v.shape[1:])
-            am = stacked['atom_mask'][..., 0]
-            eye = np.eye(am.shape[-1], dtype=np.float32)
-            stacked['edge_mask'] = (am[..., :, None] * am[..., None, :]
-                                    * -(1.0 + eye))[..., None]
+                stacked[k] = g.reshape(n_batches, bs, *v.shape[1:])
+            # NOTE: no edge_mask here — epoch_scan_step derives it on-device
+            # from atom_mask (the (S,B,N,N) tensor would dominate the H2D
+            # payload this pipeline exists to remove)
             out[bucket] = stacked
         return out
+
+    def num_steps(self, batch_size: int) -> int:
+        """Exact optimizer steps per stacked epoch (for lr schedules)."""
+        total = 0
+        for pack in self.packs.values():
+            m = pack['positions'].shape[0]
+            bs = min(batch_size, m)
+            total += m // bs
+        return total
 
     def iter_batches(self, batch_size: int, *, shuffle: bool = False,
                      seed: int = 0, drop_last: bool = False

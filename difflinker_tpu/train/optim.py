@@ -21,6 +21,8 @@ def build_lr(lr: float, schedule: str = 'constant',
     if schedule == 'cosine':
         assert decay_steps, 'cosine schedule needs decay_steps'
         if warmup_steps:
+            # warmup must leave room for the decay phase (short smoke runs)
+            warmup_steps = min(warmup_steps, max(decay_steps - 1, 1))
             return optax.warmup_cosine_decay_schedule(
                 0.0, lr, warmup_steps, decay_steps, end_value=lr * 0.01)
         return optax.cosine_decay_schedule(lr, decay_steps, alpha=0.01)

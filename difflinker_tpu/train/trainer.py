@@ -58,6 +58,10 @@ class Trainer:
     jitted train/eval steps. State is a plain pytree dict
     {'params', 'opt_state', 'step'} (orbax-friendly)."""
 
+    BATCH_KEYS = ('positions', 'one_hot', 'atom_mask', 'fragment_mask',
+                  'linker_mask', 'anchors', 'edge_mask', 'fragment_only_mask',
+                  'pocket_mask')
+
     def __init__(self, cfg: ExperimentConfig, mesh=None,
                  grad_clip_norm: Optional[float] = None,
                  ema_beta: Optional[float] = None,
@@ -157,10 +161,17 @@ class Trainer:
         """A whole epoch (or shard of one) as ONE jitted program: lax.scan the
         train step over stacked (S, B, ...) batches. Collapses S dispatches
         into one — essential when per-dispatch latency rivals step time
-        (small models, tunneled TPUs). Returns (state, mean metrics)."""
-        def body(carry, xs):
+        (small models, tunneled TPUs). Returns (state, mean metrics).
+
+        The dense FC edge mask is derived on-device from atom_mask (the
+        stacked (S, B, N, N) tensor would dominate the host-to-device payload
+        otherwise). Distance-graph models ignore it anyway."""
+        def body(carry, batch):
             st, i = carry
-            batch = xs
+            if 'edge_mask' not in batch:
+                from difflinker_tpu.ops.geometry import fc_edge_mask
+                batch = dict(batch)
+                batch['edge_mask'] = fc_edge_mask(batch['atom_mask'])
             st, metrics = self.train_step(
                 st, batch, jax.random.fold_in(key, i), max_grad_norm)
             return (st, i + 1), metrics
@@ -169,8 +180,7 @@ class Trainer:
         return state, jax.tree.map(jnp.mean, metrics)
 
     def compiled_epoch_scan(self):
-        if not hasattr(self, '_epoch_scan') or self._epoch_scan is None:
-            fn = jax.jit(self.epoch_scan_step)
+        if getattr(self, '_epoch_scan', None) is None:
             if self.mesh is not None:
                 rep = mesh_lib.replicated(self.mesh)
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -178,26 +188,43 @@ class Trainer:
                 fn = jax.jit(self.epoch_scan_step,
                              in_shardings=(rep, dsh, rep, rep),
                              out_shardings=(rep, rep))
+            else:
+                fn = jax.jit(self.epoch_scan_step)
             self._epoch_scan = fn
         return self._epoch_scan
 
     def fit_epoch_scanned(self, state: Dict, packed, batch_size: int, key,
                           shuffle: bool = True, seed: int = 0):
         """fit_epoch over a data.packed.PackedDataset with one dispatch per
-        (bucket, epoch)."""
+        (bucket, epoch). Adaptive clipping applies one threshold per bucket
+        dispatch (coarser than fit_epoch's per-step threshold)."""
+        if self.mesh is not None:
+            n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
+            batch_size = max((batch_size // n_dev) * n_dev, n_dev)
         agg = {}
+        weights = []
         step_fn = self.compiled_epoch_scan()
         for bucket, stacked in packed.stacked_epoch(
                 batch_size, shuffle=shuffle, seed=seed).items():
+            n_steps = stacked['positions'].shape[0]
+            if (self.mesh is not None
+                    and stacked['positions'].shape[1]
+                    % self.mesh.shape[mesh_lib.DATA_AXIS]):
+                continue  # sub-mesh bucket (see _device_batch)
             key, sub = jax.random.split(key)
-            keep = ('positions', 'one_hot', 'atom_mask', 'fragment_mask',
-                    'linker_mask', 'anchors', 'edge_mask',
-                    'fragment_only_mask', 'pocket_mask')
-            js = {k: jnp.asarray(v) for k, v in stacked.items() if k in keep}
-            state, metrics = step_fn(state, js, sub, jnp.inf)
+            js = {k: jnp.asarray(v) for k, v in stacked.items()
+                  if k in self.BATCH_KEYS}
+            thr = (self._grad_queue.threshold()
+                   if self._grad_queue is not None else jnp.inf)
+            state, metrics = step_fn(state, js, sub,
+                                     jnp.asarray(thr, jnp.float32))
+            if self._grad_queue is not None:
+                self._grad_queue.observe(float(metrics['grad_norm']))
+            weights.append(n_steps)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
-        return state, {k: float(np.mean(v)) for k, v in agg.items()}
+        return state, {k: float(np.average(v, weights=weights))
+                       for k, v in agg.items()}
 
     # -- jitted/sharded entry points -------------------------------------------
 
@@ -267,10 +294,7 @@ class Trainer:
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
     def _device_batch(self, batch: Dict) -> Dict:
-        keep = ('positions', 'one_hot', 'atom_mask', 'fragment_mask',
-                'linker_mask', 'anchors', 'edge_mask', 'fragment_only_mask',
-                'pocket_mask')
-        sub = {k: batch[k] for k in keep if k in batch}
+        sub = {k: batch[k] for k in self.BATCH_KEYS if k in batch}
         if self.mesh is not None:
             # ragged batches can't shard evenly — trim to a device multiple
             n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]

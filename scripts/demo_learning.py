@@ -58,7 +58,7 @@ def main():
     train_ds = PackedDataset(train_raw.samples)  # O(1) per-epoch batching
     val_ds = synthetic_molecule_dataset(args.val_size, seed=1)
 
-    steps_per_epoch = max(args.train_size // args.batch_size, 1)
+    steps_per_epoch = max(train_ds.num_steps(args.batch_size), 1)
     trainer = Trainer(cfg,
                       lr_schedule='cosine' if args.cosine else 'constant',
                       decay_steps=args.epochs * steps_per_epoch,

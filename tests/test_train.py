@@ -168,4 +168,4 @@ def test_fit_epoch_scanned():
         state, m = trainer.fit_epoch_scanned(state, packed, 8, k, seed=e)
         losses.append(m['loss'])
     assert losses[-1] < losses[0]
-    assert int(state['step']) == 8 * len(list(packed.iter_batches(8, drop_last=True)))
+    assert int(state['step']) == 8 * packed.num_steps(8)
