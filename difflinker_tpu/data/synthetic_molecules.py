@@ -126,9 +126,64 @@ def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
     }
 
 
+def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
+    """Append a synthetic 'pocket': atoms on a shell 4-6 A from the linker
+    centroid (outside bonding range of everything). Layout becomes
+    [fragments | pocket | linker] with the MOAD mask conventions."""
+    pos = sample['positions']
+    link = sample['linker_mask'].astype(bool)
+    center = pos[link].mean(0)
+    shell = []
+    for _ in range(n_pocket * 8):
+        if len(shell) == n_pocket:
+            break
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        cand = center + d * rng.uniform(4.0, 6.0)
+        others = np.concatenate([pos] + ([np.asarray(shell)] if shell else []))
+        if np.linalg.norm(others - cand, axis=1).min() > _MIN_NONBONDED:
+            shell.append(cand)
+    if len(shell) < n_pocket:
+        return None
+    shell = np.asarray(shell, np.float32)
+    n_frag = int(sample['fragment_mask'].sum())
+    n_link = int(link.sum())
+    n = n_frag + n_pocket + n_link
+
+    pk_types = rng.integers(0, 3, n_pocket)  # C/O/N
+    pk_oh = np.eye(sample['one_hot'].shape[-1], dtype=np.float32)[pk_types]
+    order_pos = np.concatenate([pos[:n_frag], shell, pos[n_frag:]])
+    order_oh = np.concatenate([sample['one_hot'][:n_frag], pk_oh,
+                               sample['one_hot'][n_frag:]])
+    charges = np.concatenate([
+        sample['charges'][:n_frag],
+        np.asarray([list(constants.CHARGES.values())[t] for t in pk_types],
+                   np.float32),
+        sample['charges'][n_frag:]])
+
+    def seg(lo, hi):
+        m = np.zeros(n, np.float32)
+        m[lo:hi] = 1
+        return m
+
+    anchors = np.zeros(n, np.float32)
+    anchors[np.where(sample['anchors'][:n_frag] > 0)[0]] = 1
+    return {
+        'uuid': sample['uuid'], 'name': sample['name'],
+        'positions': (order_pos - order_pos.mean(0)).astype(np.float32),
+        'one_hot': order_oh.astype(np.float32), 'charges': charges,
+        'anchors': anchors,
+        'fragment_only_mask': seg(0, n_frag),
+        'pocket_mask': seg(n_frag, n_frag + n_pocket),
+        'fragment_mask': seg(0, n_frag + n_pocket),
+        'linker_mask': seg(n_frag + n_pocket, n),
+        'num_atoms': n,
+    }
+
+
 def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
-                               frag_range=(4, 8), linker_range=(3, 8)
-                               ) -> LinkerDataset:
+                               frag_range=(4, 8), linker_range=(3, 8),
+                               pocket_range=None) -> LinkerDataset:
     rng = np.random.default_rng(seed)
     samples = []
     attempts = 0
@@ -140,6 +195,8 @@ def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
             n_frag2=int(rng.integers(*frag_range)),
             n_linker=int(rng.integers(*linker_range)),
             uuid=len(samples))
+        if s is not None and pocket_range is not None:
+            s = _add_pocket_shell(rng, s, int(rng.integers(*pocket_range)))
         if s is not None:
             samples.append(s)
     if len(samples) < n_samples:

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Pocket-conditioned learning demo: the distance-graph (4A) model trains
+end-to-end on synthetic ligand+pocket complexes, with the edge mask rebuilt
+in-jit from the current coordinates every diffusion step.
+
+    python scripts/demo_learning_pocket.py [--epochs 600]
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=600)
+    p.add_argument('--eval-every', type=int, default=100)
+    p.add_argument('--train-size', type=int, default=2000)
+    p.add_argument('--val-size', type=int, default=64)
+    p.add_argument('--batch-size', type=int, default=64)
+    p.add_argument('--out', type=str, default=None)
+    args = p.parse_args()
+
+    import jax
+    from difflinker_tpu.config import (CenterOfMass, DataConfig,
+                                       DatasetFamily, DiffusionConfig,
+                                       ExperimentConfig, GraphType,
+                                       ModelConfig, PocketMode, TrainConfig)
+    from difflinker_tpu.data.packed import PackedDataset
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    from difflinker_tpu.sample.sampler import LinkerSampler
+    from difflinker_tpu.train.evaluation import sample_and_analyze
+    from difflinker_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(
+        exp_name='synthetic_pocket_demo',
+        model=ModelConfig(in_node_nf=8, context_node_nf=3, hidden_nf=128,
+                          n_layers=5, norm_constant=1e-6,
+                          graph_type=GraphType.A4),
+        diffusion=DiffusionConfig(timesteps=100),
+        data=DataConfig(family=DatasetFamily.MOAD, pocket_mode=PocketMode.FULL),
+        train=TrainConfig(lr=4e-4, batch_size=args.batch_size,
+                          n_stability_samples=1,
+                          center_of_mass=CenterOfMass.FRAGMENTS))
+
+    print(f'generating {args.train_size}+{args.val_size} complexes...',
+          flush=True)
+    train_raw = synthetic_molecule_dataset(args.train_size, seed=0,
+                                           pocket_range=(8, 16))
+    train_ds = PackedDataset(train_raw.samples)
+    val_ds = synthetic_molecule_dataset(args.val_size, seed=1,
+                                        pocket_range=(8, 16))
+
+    steps = max(train_ds.num_steps(args.batch_size), 1)
+    trainer = Trainer(cfg, lr_schedule='cosine',
+                      decay_steps=args.epochs * steps,
+                      warmup_steps=5 * steps)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    results = []
+    t0 = time.time()
+
+    def evaluate(epoch, state):
+        sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+        m = sample_and_analyze(
+            sampler, val_ds.iter_batches(args.batch_size),
+            jax.random.PRNGKey(7), n_samples=1)
+        row = {'epoch': epoch, 'elapsed_s': round(time.time() - t0, 1),
+               'validity': round(m['validity'], 4),
+               'validity_and_connectivity': round(m['validity_and_connectivity'], 4)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(results, f, indent=2)
+
+    evaluate(0, state)
+    for epoch in range(args.epochs):
+        key, k = jax.random.split(key)
+        state, m = trainer.fit_epoch_scanned(state, train_ds, args.batch_size,
+                                             k, seed=epoch)
+        if (epoch + 1) % args.eval_every == 0:
+            print(f'epoch {epoch + 1}: loss={m["loss"]:.4f}', flush=True)
+            evaluate(epoch + 1, state)
+    first, last = results[0], results[-1]
+    print(f'pocket model: validity {first["validity"]:.2%} -> '
+          f'{last["validity"]:.2%}; v+c {first["validity_and_connectivity"]:.2%}'
+          f' -> {last["validity_and_connectivity"]:.2%}')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

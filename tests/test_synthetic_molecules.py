@@ -42,3 +42,19 @@ def test_linker_connects_fragments():
         frag_idx = np.where(s['fragment_mask'] > 0)[0]
         frags_only = mol.subgraph(frag_idx)
         assert not frags_only.is_connected()
+
+
+def test_pocket_shell_generation():
+    ds = synthetic_molecule_dataset(5, seed=7, pocket_range=(6, 10))
+    from difflinker_tpu.chem.bonds import bond_order_matrix
+    for s in ds.samples:
+        pk = s['pocket_mask'].astype(bool)
+        assert pk.sum() >= 6
+        # MOAD mask conventions
+        np.testing.assert_array_equal(
+            s['fragment_mask'], s['fragment_only_mask'] + s['pocket_mask'])
+        total = s['fragment_only_mask'] + s['pocket_mask'] + s['linker_mask']
+        np.testing.assert_array_equal(total, np.ones(s['num_atoms']))
+        # pocket atoms never bond to the ligand
+        orders = bond_order_matrix(s['positions'], s['one_hot'].argmax(-1))
+        assert orders[pk][:, ~pk].sum() == 0
