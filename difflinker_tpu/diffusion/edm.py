@@ -251,9 +251,11 @@ class EDM:
     # -- reverse sampling ----------------------------------------------------
 
     def sample_step(self, params, key, s_int, z_t, node_mask, fragment_mask,
-                    linker_mask, edge_mask, context):
+                    linker_mask, edge_mask, context, xh_fragments=None):
         """One p(z_s | z_t) transition with s = s_int, t = s_int + 1
-        (src/edm.py:178-208). Jit/scan-safe: s_int may be traced."""
+        (src/edm.py:178-208). Jit/scan-safe: s_int may be traced.
+        `xh_fragments` is unused here (the fragment part of z_t is already the
+        ground truth); InpaintingEDM needs it for q-sampling."""
         bs = z_t.shape[0]
         s = jnp.full((bs, 1), 0.0, z_t.dtype) + s_int / self.T
         t = s + 1.0 / self.T
@@ -308,6 +310,11 @@ class EDM:
         z = self.sample_noise(key, xh.shape[:2], linker_mask)
         return xh * fragment_mask + z * linker_mask
 
+    def _fragment_reference(self, xh, fragment_mask):
+        """Ground-truth fragment tensor each sample_step receives; the base
+        model conditions via frozen z rows instead, so: None."""
+        return None
+
     def sample_chain(self, params, key, x, h, node_mask, fragment_mask,
                      linker_mask, edge_mask, context=None,
                      keep_frames: Optional[int] = None, eager: bool = False):
@@ -324,6 +331,11 @@ class EDM:
         """
         x, h = self.normalize(x, h)
         xh = jnp.concatenate([x, h], axis=-1)
+        # Fragment ground truth threaded explicitly into each step (None for
+        # the base EDM; InpaintingEDM q-samples fragments from it). Passed as
+        # an argument — never stashed on `self` — so two concurrently-traced
+        # samplers sharing one EDM instance cannot alias each other's tracers.
+        xh_fragments = self._fragment_reference(xh, fragment_mask)
 
         kinit, kloop, kdec = jax.random.split(key, 3)
         z = self.init_z(kinit, xh, fragment_mask, linker_mask)
@@ -342,7 +354,8 @@ class EDM:
             step_key = jax.random.fold_in(kloop, s_int)
             z, step_nan = self.sample_step(
                 params, step_key, jnp.asarray(s_int, z.dtype), z, node_mask,
-                fragment_mask, linker_mask, edge_mask, context)
+                fragment_mask, linker_mask, edge_mask, context,
+                xh_fragments=xh_fragments)
             nan = nan | step_nan
             if collect:
                 idx = (s_int * keep_frames) // self.T
@@ -402,12 +415,16 @@ class InpaintingEDM(EDM):
         node_mask = ((fragment_mask + linker_mask) > 0).astype(xh.dtype)
         return self.sample_noise(key, xh.shape[:2], node_mask)
 
+    def _fragment_reference(self, xh, fragment_mask):
+        return xh * fragment_mask
+
     def sample_step(self, params, key, s_int, z_t, node_mask, fragment_mask,
-                    linker_mask, edge_mask, context):
-        """p-sample everything, q-sample fragments from the ground truth, mix,
-        and re-project the CoM (src/edm.py:568-598)."""
+                    linker_mask, edge_mask, context, xh_fragments=None):
+        """p-sample everything, q-sample fragments from the ground truth
+        `xh_fragments` (threaded in by sample_chain), mix, and re-project the
+        CoM (src/edm.py:568-598)."""
         bs = z_t.shape[0]
-        xh_frag = self._xh_fragments  # stashed by sample_chain
+        xh_frag = xh_fragments
         kp, kq = jax.random.split(key)
         s = jnp.full((bs, 1), 0.0, z_t.dtype) + s_int / self.T
         t = s + 1.0 / self.T
@@ -464,19 +481,6 @@ class InpaintingEDM(EDM):
         h = (jax.nn.one_hot(jnp.argmax(h, axis=-1), self.in_node_nf, dtype=h.dtype)
              * node_mask)
         return x, h, nan_flag
-
-    def sample_chain(self, params, key, x, h, node_mask, fragment_mask,
-                     linker_mask, edge_mask, context=None, keep_frames=None,
-                     eager=False):
-        xn, hn = self.normalize(x, h)
-        self._xh_fragments = jnp.concatenate([xn, hn], axis=-1) * fragment_mask
-        try:
-            return super().sample_chain(
-                params, key, x, h, node_mask, fragment_mask, linker_mask,
-                edge_mask, context, keep_frames, eager=eager)
-        finally:
-            self._xh_fragments = None
-
 
 def make_edm(model_cfg: ModelConfig, diff_cfg: DiffusionConfig) -> EDM:
     cls = InpaintingEDM if diff_cfg.inpainting else EDM

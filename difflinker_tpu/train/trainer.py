@@ -198,19 +198,29 @@ class Trainer:
         """fit_epoch over a data.packed.PackedDataset with one dispatch per
         (bucket, epoch). Adaptive clipping applies one threshold per bucket
         dispatch (coarser than fit_epoch's per-step threshold)."""
-        if self.mesh is not None:
-            n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
-            batch_size = max((batch_size // n_dev) * n_dev, n_dev)
+        n_dev = (self.mesh.shape[mesh_lib.DATA_AXIS]
+                 if self.mesh is not None else 1)
+        batch_size = max((batch_size // n_dev) * n_dev, n_dev)
         agg = {}
         weights = []
+        duplicated = 0  # wrap-padded rows added so ragged buckets still train
+        dropped = 0     # ragged epoch tails left out by stacked_epoch
         step_fn = self.compiled_epoch_scan()
         for bucket, stacked in packed.stacked_epoch(
                 batch_size, shuffle=shuffle, seed=seed).items():
-            n_steps = stacked['positions'].shape[0]
-            if (self.mesh is not None
-                    and stacked['positions'].shape[1]
-                    % self.mesh.shape[mesh_lib.DATA_AXIS]):
-                continue  # sub-mesh bucket (see _device_batch)
+            n_steps, bsz = stacked['positions'].shape[:2]
+            dropped += packed.packs[bucket]['positions'].shape[0] - n_steps * bsz
+            if bsz % n_dev:
+                # A bucket smaller than the mesh (or not a device multiple):
+                # wrap-pad the batch axis with duplicate samples so the whole
+                # bucket trains instead of silently vanishing. The duplicates
+                # mildly over-weight a few samples for this epoch; shuffling
+                # rotates which ones.
+                pad = n_dev - bsz % n_dev
+                pad_rows = np.arange(pad) % bsz
+                stacked = {k: np.concatenate([v, v[:, pad_rows]], axis=1)
+                           for k, v in stacked.items()}
+                duplicated += pad * n_steps
             key, sub = jax.random.split(key)
             js = {k: jnp.asarray(v) for k, v in stacked.items()
                   if k in self.BATCH_KEYS}
@@ -223,8 +233,17 @@ class Trainer:
             weights.append(n_steps)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
-        return state, {k: float(np.average(v, weights=weights))
-                       for k, v in agg.items()}
+        out = {k: float(np.average(v, weights=weights))
+               for k, v in agg.items()}
+        if duplicated or dropped:
+            out['duplicated_samples'] = float(duplicated)
+            out['dropped_tail_samples'] = float(dropped)
+            if not getattr(self, '_warned_ragged', False):
+                print(f'[trainer] ragged-epoch accounting: {duplicated} '
+                      f'wrap-padded duplicates, {dropped} tail samples '
+                      f'dropped this epoch (reported per-epoch in metrics)')
+                self._warned_ragged = True
+        return state, out
 
     # -- jitted/sharded entry points -------------------------------------------
 
@@ -265,8 +284,6 @@ class Trainer:
         for i, batch in enumerate(batches):
             key, sub = jax.random.split(key)
             jbatch = self._device_batch(batch)
-            if jbatch is None:
-                continue  # bucket group smaller than the device mesh
             thr = (self._grad_queue.threshold()
                    if self._grad_queue is not None else jnp.inf)
             state, metrics = step_fn(state, jbatch, sub,
@@ -286,8 +303,6 @@ class Trainer:
         for batch in batches:
             key, sub = jax.random.split(key)
             jbatch = self._device_batch(batch)
-            if jbatch is None:
-                continue
             metrics = step_fn(state, jbatch, sub)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
@@ -296,23 +311,19 @@ class Trainer:
     def _device_batch(self, batch: Dict) -> Dict:
         sub = {k: batch[k] for k in self.BATCH_KEYS if k in batch}
         if self.mesh is not None:
-            # ragged batches can't shard evenly — trim to a device multiple
+            # ragged batches can't shard evenly — wrap-pad to a device
+            # multiple with duplicate samples so no sample is dropped
             n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
             bs = next(iter(sub.values())).shape[0]
-            usable = (bs // n_dev) * n_dev
-            if usable == 0:
-                # bucket groups can end with fewer samples than devices;
-                # callers skip these (logged once per trainer)
-                if not getattr(self, '_warned_small_batch', False):
-                    print(f'[trainer] skipping batch of {bs} '
-                          f'(< {n_dev}-device mesh)')
-                    self._warned_small_batch = True
-                return None
-            if usable != bs:
-                if not getattr(self, '_warned_trim', False):
-                    print(f'[trainer] trimming ragged batch {bs} -> {usable} '
-                          f'to fit the {n_dev}-device mesh (logged once)')
-                    self._warned_trim = True
-                sub = {k: v[:usable] for k, v in sub.items()}
+            if bs % n_dev:
+                pad = n_dev - bs % n_dev
+                pad_rows = np.arange(pad) % bs
+                sub = {k: np.concatenate([np.asarray(v), np.asarray(v)[pad_rows]])
+                       for k, v in sub.items()}
+                if not getattr(self, '_warned_pad', False):
+                    print(f'[trainer] wrap-padding ragged batch {bs} -> '
+                          f'{bs + pad} to fit the {n_dev}-device mesh '
+                          f'(logged once)')
+                    self._warned_pad = True
             return mesh_lib.shard_batch(self.mesh, sub)
         return {k: jnp.asarray(v) for k, v in sub.items()}

