@@ -84,8 +84,10 @@ def main(argv=None):
     s = sub.add_parser('moad-split')
     s.add_argument('--table', required=True)
     s.add_argument('--pockets', required=True)
-    s.add_argument('--test-pdbs', required=True)
-    s.add_argument('--val-pdbs', required=True)
+    s.add_argument('--test-pdbs', default=None,
+                   help='default: vendored resources/moad_test_pdbs.txt')
+    s.add_argument('--val-pdbs', default=None,
+                   help='default: vendored resources/moad_val_pdbs.txt')
     s.add_argument('--out-dir', required=True)
     s.add_argument('--prefix', default='MOAD')
     s.add_argument('--frag-sdf', default=None,

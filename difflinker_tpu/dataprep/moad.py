@@ -233,15 +233,27 @@ def prepare_moad_dataset(table_path: str, sdf_path: str, proteins_dir: str,
 # Filtering + split (filter_and_train_test_split.py:15-58)
 # ---------------------------------------------------------------------------
 
-def filter_and_split(table_path: str, pockets_path: str, test_pdbs_path: str,
-                     val_pdbs_path: str, out_dir: str, prefix: str = 'MOAD',
+def filter_and_split(table_path: str, pockets_path: str,
+                     test_pdbs_path: str = None, val_pdbs_path: str = None,
+                     out_dir: str = '.', prefix: str = 'MOAD',
                      max_total_atoms: int = 1000,
                      frag_sdf_path: str = None, link_sdf_path: str = None):
     """Filter + pdb-based split. When the fragment/linker SDFs are given,
     writes fully ALIGNED per-split artifacts — `{prefix}_{split}_table.csv`,
     `_frag.sdf`, `_link.sdf`, `_pockets.pkl`, row i of each referring to the
     same complex — exactly what LinkerDataset.from_pt('{prefix}_{split}.full')
-    expects to preprocess (positional pairing, data/datasets.py)."""
+    expects to preprocess (positional pairing, data/datasets.py).
+
+    The published split lists (reference resources/moad_{test,val}_pdbs.txt,
+    used at data/pocket/filter_and_train_test_split.py:56-58) are vendored in
+    difflinker_tpu/resources/ and used when no paths are given."""
+    if test_pdbs_path is None or val_pdbs_path is None:
+        res = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           '..', 'resources')
+        test_pdbs_path = test_pdbs_path or os.path.join(
+            res, 'moad_test_pdbs.txt')
+        val_pdbs_path = val_pdbs_path or os.path.join(
+            res, 'moad_val_pdbs.txt')
     import pandas as pd
 
     table = pd.read_csv(table_path)
