@@ -1,0 +1,62 @@
+"""Child process for the 2-process multi-host test (test_multihost.py).
+
+Run as: python tests/_multihost_child.py <process_id> <port>
+with JAX_PLATFORMS=cpu and --xla_force_host_platform_device_count=4 so the
+global topology is 2 processes x 4 virtual CPU devices = an 8-device mesh.
+
+Prints one JSON line: {"loss": ..., "step": ..., "checksum": ...}.
+"""
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    proc_id = int(sys.argv[1])
+    port = sys.argv[2]
+
+    import jax
+    from difflinker_tpu.parallel import multihost
+    multihost.initialize(f'localhost:{port}', num_processes=2,
+                         process_id=proc_id)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_index() == proc_id
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from difflinker_tpu.parallel import mesh as mesh_lib
+    from difflinker_tpu.train.trainer import Trainer
+
+    mesh = mesh_lib.make_mesh(8)
+
+    # Every host can build the full deterministic batch; each keeps only the
+    # rows its own devices host (global row r lives on global device r with
+    # 1-row-per-device batch sharding).
+    full = _synthetic_batch(8, 16, n_frag=5)
+    local = {k: v[proc_id * 4:(proc_id + 1) * 4] for k, v in full.items()}
+
+    # strided host_shard_indices sanity (the documented loading recipe)
+    idx = multihost.host_shard_indices(8)
+    assert len(idx) == 4 and (idx % 2 == proc_id).all()
+
+    gb = next(multihost.global_batches(iter([local]), mesh))
+    assert gb['positions'].shape[0] == 8  # logically global
+
+    trainer = Trainer(_flagship_cfg(tiny=True), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.compiled_train_step()
+    state, metrics = step(state, gb, jax.random.PRNGKey(1), jnp.inf)
+    jax.block_until_ready(metrics['loss'])
+
+    checksum = float(sum(jnp.sum(jnp.abs(l))
+                         for l in jax.tree.leaves(state['params'])))
+    print(json.dumps({'loss': float(metrics['loss']),
+                      'step': int(state['step']),
+                      'checksum': checksum}))
+    jax.distributed.shutdown()
+
+
+if __name__ == '__main__':
+    main()
