@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: linker-sampling throughput at T=500 on one chip.
+"""Headline benchmark: linker-sampling throughput at T=500 on one chip, with
+analytic FLOPs/MFU accounting (ops/flops.py) and the pocket-model line.
 
-Runs the flagship ZINC-shaped model (8 layers, nf=128 — configs/zinc_difflinker.yml)
-through the full jitted reverse-diffusion chain and prints ONE JSON line:
+Prints ONE JSON line:
 
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+     "tflops": ..., "mfu": ..., "pocket": {...}, "sweep": [...]}
 
 Baseline: the PyTorch reference (igashov/DiffLinker) measured on this host
 (torch CPU, single core, B=128, N=32, T=500 extrapolated from per-step time):
 0.0197 linkers/s. No GPU exists in this container and the repo publishes no
 numbers (BASELINE.md), so same-host-measured is the only honest denominator.
+
+Implementation note: both lines run the dense XLA path — two generations of
+fused Pallas kernels and a gather-based sparse path were benchmarked against
+it and XLA wins at these shapes (docs/ARCHITECTURE.md §5 has the full table;
+the sparse path wins only at N >= 512 and is opt-in via
+ModelConfig.neighbor_k).
 """
 import json
 import sys
@@ -20,65 +27,117 @@ import numpy as np
 # measured via scripts/measure_reference_baseline.py on this host (1 CPU core)
 REFERENCE_LINKERS_PER_SEC = 0.0197
 
-# flagship ZINC shapes
-BATCH = 256
-N_NODES = 32
 T = 500
-N_FRAG = 14
 
 
-def main():
+def _chain_throughput(edm, params, args_list, batch, runs=3):
     import jax
-    import jax.numpy as jnp
 
-    from difflinker_tpu.config import ModelConfig, DiffusionConfig
-    from difflinker_tpu.diffusion.edm import make_edm
-    from difflinker_tpu.ops.geometry import fc_edge_mask
-
-    # bf16-mixed: invariant-feature MLPs on the MXU in bf16, all geometry /
-    # coordinates / diffusion algebra float32 (0.7% per-forward rel err vs
-    # fp32; parity tests cover fp32 — see BASELINE.md)
-    mcfg = ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=128,
-                       n_layers=8, inv_sublayers=2, norm_constant=1e-6,
-                       dtype='bfloat16')
-    dcfg = DiffusionConfig(timesteps=T)
-    edm = make_edm(mcfg, dcfg)
-    params = edm.init_params(jax.random.PRNGKey(0))
-
-    rng = np.random.default_rng(0)
-    node_mask = np.ones((BATCH, N_NODES, 1), np.float32)
-    frag = np.zeros((BATCH, N_NODES, 1), np.float32)
-    frag[:, :N_FRAG] = 1
-    link = node_mask - frag
-    x = (rng.standard_normal((BATCH, N_NODES, 3)).astype(np.float32) * 2)
-    h = np.eye(8, dtype=np.float32)[rng.integers(0, 8, (BATCH, N_NODES))]
-    anchors = np.zeros((BATCH, N_NODES, 1), np.float32)
-    anchors[:, [2, N_FRAG - 1]] = 1
-    ctx = np.concatenate([anchors, frag], -1)
-    em = fc_edge_mask(jnp.asarray(node_mask))
-
-    args = [jnp.asarray(a) for a in (x, h, node_mask, frag, link)] + [em, jnp.asarray(ctx)]
-    fn = jax.jit(lambda p, k: edm.sample_chain(p, k, *args))
-
-    # warm-up/compile
+    fn = jax.jit(lambda p, k: edm.sample_chain(p, k, *args_list))
     out = fn(params, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
-
     times = []
-    for i in range(3):
+    for i in range(runs):
         t0 = time.perf_counter()
         out = fn(params, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    linkers_per_sec = BATCH / dt
+    return batch / dt, dt
+
+
+def _zinc_inputs(B, N, n_frag=14):
+    import jax.numpy as jnp
+    from difflinker_tpu.ops.geometry import fc_edge_mask
+
+    rng = np.random.default_rng(0)
+    node_mask = np.ones((B, N, 1), np.float32)
+    frag = np.zeros((B, N, 1), np.float32)
+    frag[:, :n_frag] = 1
+    link = node_mask - frag
+    x = rng.standard_normal((B, N, 3)).astype(np.float32) * 2
+    h = np.eye(8, dtype=np.float32)[rng.integers(0, 8, (B, N))]
+    anchors = np.zeros((B, N, 1), np.float32)
+    anchors[:, [2, n_frag - 1]] = 1
+    ctx = np.concatenate([anchors, frag], -1)
+    em = fc_edge_mask(jnp.asarray(node_mask))
+    return [jnp.asarray(a) for a in (x, h, node_mask, frag, link)] + \
+        [em, jnp.asarray(ctx)]
+
+
+def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    node_mask = np.zeros((B, N, 1), np.float32)
+    node_mask[:, :n_lig + n_pocket] = 1
+    n_frag = n_lig // 2
+    frag_only = np.zeros((B, N, 1), np.float32)
+    frag_only[:, :n_frag] = 1
+    pocket = np.zeros((B, N, 1), np.float32)
+    pocket[:, n_lig:n_lig + n_pocket] = 1
+    link = (node_mask - frag_only - pocket) * node_mask
+    frag = frag_only + pocket  # MOAD convention: fragment = frag ∪ pocket
+    x = (rng.standard_normal((B, N, 3)).astype(np.float32) * 6) * node_mask
+    h = np.eye(9, dtype=np.float32)[rng.integers(0, 9, (B, N))] * node_mask
+    anchors = np.zeros((B, N, 1), np.float32)
+    anchors[:, [0, n_frag - 1]] = 1
+    ctx = np.concatenate([anchors, frag_only, pocket], -1) * node_mask
+    return [jnp.asarray(a) for a in (x, h, node_mask, frag, link)] + \
+        [None, jnp.asarray(ctx)]
+
+
+def main():
+    import jax
+
+    from difflinker_tpu.config import DiffusionConfig, GraphType, ModelConfig
+    from difflinker_tpu.diffusion.edm import make_edm
+    from difflinker_tpu.ops import flops as flops_lib
+
+    kind = jax.devices()[0].device_kind
+    peak16 = flops_lib.peak_flops(kind, 'bfloat16')
+
+    # -- headline: ZINC flagship, bf16-mixed --------------------------------
+    B, N = 256, 32
+    zcfg = ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=128,
+                       n_layers=8, inv_sublayers=2, norm_constant=1e-6,
+                       dtype='bfloat16')
+    edm = make_edm(zcfg, DiffusionConfig(timesteps=T))
+    params = edm.init_params(jax.random.PRNGKey(0))
+    linkers_per_sec, dt = _chain_throughput(edm, params, _zinc_inputs(B, N), B)
+    fl = flops_lib.chain_flops(B, N, T, zcfg)
+    tflops = fl / dt / 1e12
+    mfu = fl / dt / peak16 if peak16 else float('nan')
+
+    # -- pocket line: 4A distance graphs, bf16-mixed ------------------------
+    Bp, Np = 32, 256
+    pcfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
+                       n_layers=6, inv_sublayers=2, norm_constant=1e-6,
+                       graph_type=GraphType.A4, dtype='bfloat16')
+    pedm = make_edm(pcfg, DiffusionConfig(timesteps=T))
+    pparams = pedm.init_params(jax.random.PRNGKey(0))
+    p_lps, p_dt = _chain_throughput(pedm, pparams, _pocket_inputs(Bp, Np), Bp,
+                                    runs=2)
+    p_fl = flops_lib.chain_flops(Bp, Np, T, pcfg)
 
     print(json.dumps({
-        'metric': f'linker sampling throughput (T={T}, B={BATCH}, N={N_NODES}, '
-                  f'ZINC 8x128 EGNN, {jax.devices()[0].device_kind})',
+        'metric': f'linker sampling throughput (T={T}, B={B}, N={N}, '
+                  f'ZINC 8x128 EGNN bf16, {kind})',
         'value': round(linkers_per_sec, 2),
         'unit': 'linkers/sec/chip',
         'vs_baseline': round(linkers_per_sec / REFERENCE_LINKERS_PER_SEC, 1),
+        'tflops': round(tflops, 2),
+        'mfu': round(mfu, 4),
+        'impl': 'xla-dense (beats pallas/sparse at this shape, '
+                'docs/ARCHITECTURE.md §5)',
+        'pocket': {
+            'metric': f'pocket 4A sampling (T={T}, B={Bp}, N={Np}, '
+                      '6x128 EGNN bf16)',
+            'value': round(p_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'tflops': round(p_fl / p_dt / 1e12, 2),
+            'mfu': round(p_fl / p_dt / peak16, 4) if peak16 else None,
+        },
     }))
     return 0
 

@@ -64,7 +64,16 @@ class ModelConfig:
     graph_type: GraphType = GraphType.FC
     # numerics / kernels
     dtype: str = 'float32'            # compute dtype: 'float32' | 'bfloat16'
-    kernel_impl: str = 'xla'          # 'xla' | 'pallas' (fused inference kernels)
+    # 'xla' is the only compute path: two generations of fused Pallas kernels
+    # were built, measured on-chip at ZINC and pocket shapes, and both lost
+    # ~2x to XLA's own fusion (the dense EGNN is VPU/HBM-roofline-bound at
+    # H=128; full numbers in docs/ARCHITECTURE.md §5). The field stays so
+    # saved configs keep loading.
+    kernel_impl: str = 'xla'
+    # Distance-graph sparsity: keep only the K nearest admissible neighbours
+    # per node (static shapes). Exact vs the dense path when K >= the true
+    # max degree; None = dense (B, N, N) masks. Ignored for FC graphs.
+    neighbor_k: Optional[int] = None
 
     @property
     def edge_feat_nf(self) -> int:

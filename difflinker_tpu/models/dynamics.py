@@ -70,7 +70,6 @@ def dynamics_apply(
     *,
     cfg: ModelConfig,
     remat: bool = True,
-    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Predict ε̂ = [vel, h_out] on a padded batch.
 
@@ -90,6 +89,7 @@ def dynamics_apply(
     x, h = _assemble_node_features(xh, t, context, node_mask, cfg)
 
     mean_count_static = True
+    neighbors = None
     if cfg.graph_type != GraphType.FC:
         # Distance-graph edge lists in the reference contain only real edges,
         # so 'mean' aggregation counts masked neighbours there.
@@ -99,21 +99,22 @@ def dynamics_apply(
         # from the *current* coordinates every call (src/egnn.py:495-499).
         fragment_only = context[..., -2:-1]
         pocket_only = context[..., -1:]
-        edge_mask = geometry.distance_edge_mask(
-            x, node_mask, linker_mask, fragment_only, pocket_only,
-            cfg.graph_type.value)
+        if cfg.neighbor_k and cfg.model == 'egnn_dynamics':
+            # sparse K-neighbor-list layout (models/egnn.py sparse path)
+            neighbors = geometry.neighbor_lists(
+                x, node_mask, linker_mask, fragment_only, pocket_only,
+                cfg.graph_type.value, min(cfg.neighbor_k, x.shape[1]))
+        else:
+            edge_mask = geometry.distance_edge_mask(
+                x, node_mask, linker_mask, fragment_only, pocket_only,
+                cfg.graph_type.value)
 
     if cfg.model == 'egnn_dynamics':
-        # pallas kernels are inference-only (no autodiff rule): loss paths
-        # pass allow_pallas=False and keep the XLA implementation
-        use_pallas = (allow_pallas and cfg.kernel_impl == 'pallas'
-                      and not cfg.sin_embedding
-                      and cfg.aggregation_method == 'sum')
-        if use_pallas:
-            from difflinker_tpu.ops.egnn_pallas import egnn_apply_pallas
-            h_final, x_final = egnn_apply_pallas(
-                params['egnn'], h, x, node_mask, linker_mask, edge_mask,
-                cfg=cfg)
+        if neighbors is not None:
+            idx, emask = neighbors
+            h_final, x_final = egnn_lib.egnn_apply_sparse(
+                params['egnn'], h, x, node_mask, linker_mask, idx, emask,
+                cfg=cfg, remat=remat)
         else:
             h_final, x_final = egnn_lib.egnn_apply(
                 params['egnn'], h, x, node_mask, linker_mask, edge_mask,

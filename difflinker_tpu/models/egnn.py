@@ -284,6 +284,151 @@ def egnn_apply(p, h, x, node_mask, linker_mask, edge_mask, *, cfg,
 
 
 # ---------------------------------------------------------------------------
+# Sparse K-neighbor-list path for distance graphs
+#
+# The dense path's (B, N, N, H) edge activations make pocket shapes
+# HBM-bandwidth-bound (~26 GB per forward at B=32, N=256 — measured, see
+# docs/ARCHITECTURE.md §5). Distance graphs are ~5% dense at the 4A cutoff
+# (src/egnn.py:554-563), so every node keeps only its K nearest admissible
+# neighbours in a static (B, N, K) table (ops/geometry.neighbor_lists): all
+# edge tensors become (B, N, K, ·), cutting edge FLOPs and traffic by N/K.
+# Exact (bit-comparable to the dense path) whenever K >= the true max degree;
+# otherwise the farthest edges are dropped. Same parameters as the dense path
+# — this is a data-layout choice, not a different model.
+# ---------------------------------------------------------------------------
+
+def _split_pair_linear_sparse(p, h, edge_attr, idx, input_nf):
+    """lin0 over virtual [h_i, h_j, e_ij] rows for j in the neighbor list:
+    gather the *pre-products* (H-wide) rather than h (avoids K x matmuls)."""
+    from difflinker_tpu.ops.geometry import gather_neighbors
+    w = p['w']
+    w_src, w_dst, w_e = w[:input_nf], w[input_nf:2 * input_nf], w[2 * input_nf:]
+    pre_src = h @ w_src                      # (B, N, H')
+    pre_dst = gather_neighbors(h @ w_dst, idx)   # (B, N, K, H')
+    out = pre_src[:, :, None, :] + pre_dst
+    if edge_attr is not None and w_e.shape[0] > 0:
+        out = out + edge_attr @ w_e
+    return out + p['b']
+
+
+def _agg_sparse(feat, emask, normalization_factor, aggregation_method):
+    """Sum/mean over the K axis. Distance-graph 'mean' counts real
+    neighbours (the reference index list contains only real edges)."""
+    agg = jnp.sum(feat, axis=2)
+    if aggregation_method == 'sum':
+        return agg / normalization_factor
+    if aggregation_method == 'mean':
+        cnt = jnp.maximum(jnp.sum(emask, axis=2), 1.0)
+        return agg / cnt
+    raise ValueError(aggregation_method)
+
+
+def gcl_apply_sparse(p, h, edge_attr, node_mask, emask, idx, *, act,
+                     normalization_factor, aggregation_method='sum',
+                     attention=False):
+    """gcl_apply over a neighbor list. h (B,N,F); edge_attr (B,N,K,E);
+    emask (B,N,K,1) in {0,1}; idx (B,N,K)."""
+    input_nf = h.shape[-1]
+    mij = act(_split_pair_linear_sparse(p['edge_mlp']['lin0'], h, edge_attr,
+                                        idx, input_nf))
+    mij = act(linear(p['edge_mlp']['lin1'], mij))
+    if attention:
+        gate = jax.nn.sigmoid(linear(p['att_mlp'], mij))
+        mij = mij * gate
+    feat = mij * emask
+    agg = _agg_sparse(feat, emask, normalization_factor, aggregation_method)
+
+    w = p['node_mlp']['lin0']['w']
+    out = h @ w[:input_nf] + agg @ w[input_nf:] + p['node_mlp']['lin0']['b']
+    out = act(out)
+    out = linear(p['node_mlp']['lin1'], out)
+    h = h + out
+    if node_mask is not None:
+        h = h * node_mask
+    return h
+
+
+def coord_update_apply_sparse(p, h, x, cdiff, edge_attr, emask, idx,
+                              linker_mask, node_mask, *, act,
+                              normalization_factor, aggregation_method='sum',
+                              tanh=False, coords_range=15.0):
+    hidden_nf = h.shape[-1]
+    phi = act(_split_pair_linear_sparse(p['lin0'], h, edge_attr, idx,
+                                        hidden_nf))
+    phi = act(linear(p['lin1'], phi))
+    phi = phi @ p['lin_out']['w']            # (B, N, K, 1), no bias
+    if tanh:
+        phi = jnp.tanh(phi) * coords_range
+    trans = cdiff * phi.astype(cdiff.dtype) * emask.astype(cdiff.dtype)
+    agg = _agg_sparse(trans, emask.astype(cdiff.dtype),
+                      normalization_factor, aggregation_method)
+    if linker_mask is not None:
+        agg = agg * linker_mask
+    x = x + agg
+    if node_mask is not None:
+        x = x * node_mask
+    return x
+
+
+def block_apply_sparse(p, h, x, dist0, node_mask, linker_mask, emask, idx, *,
+                       cfg, act):
+    """EquivariantBlock on a fixed neighbor topology: distances recomputed
+    from the current coords each block (src/egnn.py:157-178), the graph
+    itself fixed per forward (built once in Dynamics.forward, :495-499)."""
+    from difflinker_tpu.ops.geometry import coord2diff_sparse
+    d2, cdiff = coord2diff_sparse(x, idx, cfg.norm_constant)
+    feat = sinusoidal_distance_embedding(d2) if cfg.sin_embedding else d2
+    edge_attr = jnp.concatenate([feat, dist0], axis=-1).astype(h.dtype)
+    em = emask.astype(h.dtype)
+    nm = None if node_mask is None else node_mask.astype(h.dtype)
+    for gp in p['gcls']:
+        h = gcl_apply_sparse(
+            gp, h, edge_attr, nm, em, idx, act=act,
+            normalization_factor=cfg.normalization_factor,
+            aggregation_method=cfg.aggregation_method,
+            attention=cfg.attention)
+    x = coord_update_apply_sparse(
+        p['coord'], h, x, cdiff, edge_attr, emask.astype(jnp.float32), idx,
+        linker_mask, node_mask, act=act,
+        normalization_factor=cfg.normalization_factor,
+        aggregation_method=cfg.aggregation_method, tanh=cfg.tanh,
+        coords_range=cfg.coords_range)
+    if nm is not None:
+        h = h * nm
+    return h, x
+
+
+def egnn_apply_sparse(p, h, x, node_mask, linker_mask, idx, emask, *, cfg,
+                      remat: bool = True):
+    """egnn_apply over a K-neighbor list (same params, sparse data layout)."""
+    from difflinker_tpu.ops.geometry import coord2diff_sparse
+    act = activation_fn(cfg.activation)
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if compute_dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+        h = h.astype(compute_dtype)
+    x = x.astype(jnp.float32)
+
+    d2_0, _ = coord2diff_sparse(x, idx)
+    dist0 = sinusoidal_distance_embedding(d2_0) if cfg.sin_embedding else d2_0
+
+    h = linear(p['embedding'], h)
+
+    def run_block(bp, h, x):
+        return block_apply_sparse(bp, h, x, dist0, node_mask, linker_mask,
+                                  emask, idx, cfg=cfg, act=act)
+
+    fn = jax.checkpoint(run_block) if remat else run_block
+    for bp in p['blocks']:
+        h, x = fn(bp, h, x)
+
+    h = linear(p['embedding_out'], h)
+    if node_mask is not None:
+        h = h * node_mask.astype(h.dtype)
+    return h.astype(jnp.float32), x
+
+
+# ---------------------------------------------------------------------------
 # Plain (non-equivariant) GNN ablation (reference src/egnn.py:241-278)
 # ---------------------------------------------------------------------------
 

@@ -36,6 +36,17 @@ def coord2diff(x: jnp.ndarray, norm_constant: float = 1.0):
     return d2, cdiff
 
 
+def coord2diff_sparse(x: jnp.ndarray, idx: jnp.ndarray,
+                      norm_constant: float = 1.0):
+    """coord2diff over a K-neighbor list: x (B, N, 3), idx (B, N, K) ->
+    d2 (B, N, K, 1), cdiff (B, N, K, 3) with cdiff[b,i,k] pointing i <- idx_k."""
+    x_j = gather_neighbors(x, idx)
+    diff = x[:, :, None, :] - x_j
+    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    norm = jnp.sqrt(d2 + EPS_D2)
+    return d2, diff / (norm + norm_constant)
+
+
 def pairwise_dist(x: jnp.ndarray) -> jnp.ndarray:
     """(B, N, N) Euclidean distances."""
     diff = x[:, :, None, :] - x[:, None, :, :]
@@ -103,6 +114,44 @@ def distance_edge_mask(
     else:
         raise ValueError(f'unknown graph_type {graph_type!r}')
     return adj.astype(x.dtype)[..., None]
+
+
+def neighbor_lists(
+    x: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    linker_mask: jnp.ndarray,
+    fragment_only_mask: jnp.ndarray,
+    pocket_only_mask: jnp.ndarray,
+    graph_type: str,
+    k: int,
+):
+    """Fixed-shape K-neighbor lists for the distance graphs — the TPU-native
+    sparse form of distance_edge_mask.
+
+    The reference's own long-graph strategy is sparsification (distance
+    cutoffs, src/egnn.py:554-596); its index lists are dynamic shapes. Here
+    every node keeps its K *nearest* admissible neighbours in a static
+    (B, N, K) table, so all edge tensors downstream are (B, N, K, ·) instead
+    of (B, N, N, ·) — at pocket shapes (N=256, typical 4A degree ~15) this
+    cuts edge FLOPs and HBM traffic by N/K while computing the EXACT same
+    message sums whenever K >= the true maximum degree (nodes with more than
+    K admissible neighbours drop the farthest ones).
+
+    Returns (idx (B, N, K) int32, mask (B, N, K, 1) in {0, 1}).
+    """
+    adj = distance_edge_mask(x, node_mask, linker_mask, fragment_only_mask,
+                             pocket_only_mask, graph_type)[..., 0]
+    d = pairwise_dist(x)
+    # prefer real edges, nearest first; padded/absent edges sink to -inf-ish
+    score = -(d + (1.0 - adj) * 1e9)
+    _, idx = jax.lax.top_k(score, k)
+    mask = jnp.take_along_axis(adj, idx, axis=2)
+    return idx.astype(jnp.int32), mask[..., None]
+
+
+def gather_neighbors(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """a (B, N, F), idx (B, N, K) -> a[b, idx[b, i, k]] (B, N, K, F)."""
+    return jax.vmap(lambda ab, ib: ab[ib])(a, idx)
 
 
 # ---------------------------------------------------------------------------
