@@ -64,6 +64,11 @@ class ModelConfig:
     graph_type: GraphType = GraphType.FC
     # numerics / kernels
     dtype: str = 'float32'            # compute dtype: 'float32' | 'bfloat16'
+    # Per-block jax.checkpoint on the training path. Required at fp32 pocket
+    # shapes (backward without it OOMs holding every block's (B,N,N,H) edge
+    # activations); disabling buys ~17% at bf16 B<=32, N<=256 (measured,
+    # scripts/bench_train_pocket.py + BASELINE.md).
+    remat: bool = True
     # 'xla' is the only compute path: two generations of fused Pallas kernels
     # were built, measured on-chip at ZINC and pocket shapes, and both lost
     # ~2x to XLA's own fusion (the dense EGNN is VPU/HBM-roofline-bound at

@@ -137,7 +137,7 @@ class EDM:
         eps_hat, nan_flag = dynamics_apply(
             params['dynamics'], t, z_t, node_mask,
             linker_mask if freeze_fragments else None,
-            edge_mask, context, cfg=self.mcfg)
+            edge_mask, context, cfg=self.mcfg, remat=self.mcfg.remat)
         if freeze_fragments:
             eps_hat = eps_hat * linker_mask
 

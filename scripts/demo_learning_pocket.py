@@ -18,6 +18,8 @@ def main():
     p.add_argument('--train-size', type=int, default=2000)
     p.add_argument('--val-size', type=int, default=64)
     p.add_argument('--batch-size', type=int, default=64)
+    p.add_argument('--layers', type=int, default=5)
+    p.add_argument('--n-eval-samples', type=int, default=1)
     p.add_argument('--out', type=str, default=None)
     args = p.parse_args()
 
@@ -35,7 +37,7 @@ def main():
     cfg = ExperimentConfig(
         exp_name='synthetic_pocket_demo',
         model=ModelConfig(in_node_nf=8, context_node_nf=3, hidden_nf=128,
-                          n_layers=5, norm_constant=1e-6,
+                          n_layers=args.layers, norm_constant=1e-6,
                           graph_type=GraphType.A4),
         diffusion=DiffusionConfig(timesteps=100),
         data=DataConfig(family=DatasetFamily.MOAD, pocket_mode=PocketMode.FULL),
@@ -64,7 +66,7 @@ def main():
         sampler = LinkerSampler(cfg, state['params'], trainer.edm)
         m = sample_and_analyze(
             sampler, val_ds.iter_batches(args.batch_size),
-            jax.random.PRNGKey(7), n_samples=1)
+            jax.random.PRNGKey(7), n_samples=args.n_eval_samples)
         row = {'epoch': epoch, 'elapsed_s': round(time.time() - t0, 1),
                'validity': round(m['validity'], 4),
                'validity_and_connectivity': round(m['validity_and_connectivity'], 4)}
