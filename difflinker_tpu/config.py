@@ -79,6 +79,14 @@ class ModelConfig:
     # per node (static shapes). Exact vs the dense path when K >= the true
     # max degree; None = dense (B, N, N) masks. Ignored for FC graphs.
     neighbor_k: Optional[int] = None
+    # Block-sparse alternative to neighbor_k: nodes grouped in contiguous
+    # tiles of `tile_size` rows, each row-tile keeping its `tile_neighbors`
+    # most-connected neighbour tiles; edge work runs MXU-dense over
+    # (T, M*T) blocks with whole-tile gathers. Exact when M covers every
+    # tile pair holding an admissible edge. Ignored for FC graphs;
+    # takes precedence over neighbor_k when both are set.
+    tile_size: Optional[int] = None
+    tile_neighbors: Optional[int] = None
 
     @property
     def edge_feat_nf(self) -> int:

@@ -90,6 +90,7 @@ def dynamics_apply(
 
     mean_count_static = True
     neighbors = None
+    tiles = None
     if cfg.graph_type != GraphType.FC:
         # Distance-graph edge lists in the reference contain only real edges,
         # so 'mean' aggregation counts masked neighbours there.
@@ -99,7 +100,13 @@ def dynamics_apply(
         # from the *current* coordinates every call (src/egnn.py:495-499).
         fragment_only = context[..., -2:-1]
         pocket_only = context[..., -1:]
-        if cfg.neighbor_k and cfg.model == 'egnn_dynamics':
+        if (cfg.tile_size and cfg.tile_neighbors
+                and cfg.model == 'egnn_dynamics'):
+            # block-sparse tile-pair layout (models/egnn.py tile path)
+            tiles = geometry.tile_neighbor_lists(
+                x, node_mask, linker_mask, fragment_only, pocket_only,
+                cfg.graph_type.value, cfg.tile_size, cfg.tile_neighbors)
+        elif cfg.neighbor_k and cfg.model == 'egnn_dynamics':
             # sparse K-neighbor-list layout (models/egnn.py sparse path)
             neighbors = geometry.neighbor_lists(
                 x, node_mask, linker_mask, fragment_only, pocket_only,
@@ -110,7 +117,12 @@ def dynamics_apply(
                 cfg.graph_type.value)
 
     if cfg.model == 'egnn_dynamics':
-        if neighbors is not None:
+        if tiles is not None:
+            tidx, emask = tiles
+            h_final, x_final = egnn_lib.egnn_apply_tiles(
+                params['egnn'], h, x, node_mask, linker_mask, tidx, emask,
+                cfg.tile_size, cfg=cfg, remat=remat)
+        elif neighbors is not None:
             idx, emask = neighbors
             h_final, x_final = egnn_lib.egnn_apply_sparse(
                 params['egnn'], h, x, node_mask, linker_mask, idx, emask,

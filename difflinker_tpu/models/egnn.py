@@ -429,6 +429,149 @@ def egnn_apply_sparse(p, h, x, node_mask, linker_mask, idx, emask, *, cfg,
 
 
 # ---------------------------------------------------------------------------
+# Block-sparse tile-pair path for distance graphs
+#
+# Same parameters and message sums as the dense/sparse paths; the data layout
+# is (B, nT, T, M*T, ·) edge blocks over each row-tile's M most-connected
+# neighbour tiles (ops/geometry.tile_neighbor_lists). Gathers move whole
+# contiguous T-row tiles, amortising the per-row gather cost that makes the
+# K-neighbor path lose at N=256 (docs/ARCHITECTURE.md §5), while the (T, M*T)
+# blocks stay MXU-dense. Exact whenever M covers every tile pair holding an
+# admissible edge.
+# ---------------------------------------------------------------------------
+
+def _split_pair_linear_tiles(p, h, edge_attr, tidx, tile, input_nf):
+    """lin0 over [h_i, h_j, e_ij] for j in the neighbour-tile blocks."""
+    from difflinker_tpu.ops.geometry import gather_tiles
+    w = p['w']
+    w_src, w_dst, w_e = w[:input_nf], w[input_nf:2 * input_nf], w[2 * input_nf:]
+    B, N, _ = h.shape
+    nT = N // tile
+    pre_src = (h @ w_src).reshape(B, nT, tile, 1, -1)
+    pre_dst = gather_tiles(h @ w_dst, tidx, tile)[:, :, None, :, :]
+    out = pre_src + pre_dst                       # (B, nT, T, M*T, H')
+    if edge_attr is not None and w_e.shape[0] > 0:
+        out = out + edge_attr @ w_e
+    return out + p['b']
+
+
+def gcl_apply_tiles(p, h, edge_attr, node_mask, emask, tidx, tile, *, act,
+                    normalization_factor, aggregation_method='sum',
+                    attention=False):
+    """gcl_apply over tile-pair blocks. h (B,N,F); edge_attr/emask
+    (B,nT,T,M*T,·); tidx (B,nT,M)."""
+    B, N, input_nf = h.shape
+    mij = act(_split_pair_linear_tiles(p['edge_mlp']['lin0'], h, edge_attr,
+                                       tidx, tile, input_nf))
+    mij = act(linear(p['edge_mlp']['lin1'], mij))
+    if attention:
+        gate = jax.nn.sigmoid(linear(p['att_mlp'], mij))
+        mij = mij * gate
+    feat = mij * emask
+    agg = jnp.sum(feat, axis=3)
+    if aggregation_method == 'sum':
+        agg = agg / normalization_factor
+    elif aggregation_method == 'mean':
+        agg = agg / jnp.maximum(jnp.sum(emask, axis=3), 1.0)
+    else:
+        raise ValueError(aggregation_method)
+    agg = agg.reshape(B, N, -1)
+
+    w = p['node_mlp']['lin0']['w']
+    out = h @ w[:input_nf] + agg @ w[input_nf:] + p['node_mlp']['lin0']['b']
+    out = act(out)
+    out = linear(p['node_mlp']['lin1'], out)
+    h = h + out
+    if node_mask is not None:
+        h = h * node_mask
+    return h
+
+
+def coord_update_apply_tiles(p, h, x, cdiff, edge_attr, emask, tidx, tile,
+                             linker_mask, node_mask, *, act,
+                             normalization_factor, aggregation_method='sum',
+                             tanh=False, coords_range=15.0):
+    B, N, hidden_nf = h.shape
+    phi = act(_split_pair_linear_tiles(p['lin0'], h, edge_attr, tidx, tile,
+                                       hidden_nf))
+    phi = act(linear(p['lin1'], phi))
+    phi = phi @ p['lin_out']['w']                 # (B, nT, T, M*T, 1), no bias
+    if tanh:
+        phi = jnp.tanh(phi) * coords_range
+    trans = cdiff * phi.astype(cdiff.dtype) * emask.astype(cdiff.dtype)
+    agg = jnp.sum(trans, axis=3)
+    if aggregation_method == 'sum':
+        agg = agg / normalization_factor
+    elif aggregation_method == 'mean':
+        agg = agg / jnp.maximum(
+            jnp.sum(emask.astype(cdiff.dtype), axis=3), 1.0)
+    else:
+        raise ValueError(aggregation_method)
+    agg = agg.reshape(B, N, -1)
+    if linker_mask is not None:
+        agg = agg * linker_mask
+    x = x + agg
+    if node_mask is not None:
+        x = x * node_mask
+    return x
+
+
+def block_apply_tiles(p, h, x, dist0, node_mask, linker_mask, emask, tidx,
+                      tile, *, cfg, act):
+    from difflinker_tpu.ops.geometry import coord2diff_tiles
+    d2, cdiff = coord2diff_tiles(x, tidx, tile, cfg.norm_constant)
+    feat = sinusoidal_distance_embedding(d2) if cfg.sin_embedding else d2
+    edge_attr = jnp.concatenate([feat, dist0], axis=-1).astype(h.dtype)
+    em = emask.astype(h.dtype)
+    nm = None if node_mask is None else node_mask.astype(h.dtype)
+    for gp in p['gcls']:
+        h = gcl_apply_tiles(
+            gp, h, edge_attr, nm, em, tidx, tile, act=act,
+            normalization_factor=cfg.normalization_factor,
+            aggregation_method=cfg.aggregation_method,
+            attention=cfg.attention)
+    x = coord_update_apply_tiles(
+        p['coord'], h, x, cdiff, edge_attr, emask.astype(jnp.float32), tidx,
+        tile, linker_mask, node_mask, act=act,
+        normalization_factor=cfg.normalization_factor,
+        aggregation_method=cfg.aggregation_method, tanh=cfg.tanh,
+        coords_range=cfg.coords_range)
+    if nm is not None:
+        h = h * nm
+    return h, x
+
+
+def egnn_apply_tiles(p, h, x, node_mask, linker_mask, tidx, emask, tile, *,
+                     cfg, remat: bool = True):
+    """egnn_apply over tile-pair blocks (same params, block-sparse layout)."""
+    from difflinker_tpu.ops.geometry import coord2diff_tiles
+    act = activation_fn(cfg.activation)
+    compute_dtype = jnp.dtype(cfg.dtype)
+    if compute_dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+        h = h.astype(compute_dtype)
+    x = x.astype(jnp.float32)
+
+    d2_0, _ = coord2diff_tiles(x, tidx, tile)
+    dist0 = sinusoidal_distance_embedding(d2_0) if cfg.sin_embedding else d2_0
+
+    h = linear(p['embedding'], h)
+
+    def run_block(bp, h, x):
+        return block_apply_tiles(bp, h, x, dist0, node_mask, linker_mask,
+                                 emask, tidx, tile, cfg=cfg, act=act)
+
+    fn = jax.checkpoint(run_block) if remat else run_block
+    for bp in p['blocks']:
+        h, x = fn(bp, h, x)
+
+    h = linear(p['embedding_out'], h)
+    if node_mask is not None:
+        h = h * node_mask.astype(h.dtype)
+    return h.astype(jnp.float32), x
+
+
+# ---------------------------------------------------------------------------
 # Plain (non-equivariant) GNN ablation (reference src/egnn.py:241-278)
 # ---------------------------------------------------------------------------
 

@@ -228,3 +228,25 @@ class SizePredictor:
             ids = np.asarray(ordinal_prediction_to_label(out))
             return np.asarray([self.id2size[max(int(i), 0)] for i in ids], np.int32)
         return np.asarray(jnp.round(out[:, 0]), np.int32)
+
+
+def size_prediction_fn(predictor: 'SizePredictor', params, state=None):
+    """Wrap a trained SizePredictor into a sampler-compatible size callable
+    (sample.sampler.resolve_linker_sizes), reproducing generate.py:88-99: the
+    size model sees the *fragment-edges* graph (collate_with_fragment_edges,
+    src/datasets.py:378-422), so the edge mask is rebuilt here from the
+    fragment mask of whatever batch the sampler is holding."""
+    from difflinker_tpu.data.collate import reference_edge_mask
+
+    def fn(batch: Dict) -> np.ndarray:
+        key = ('fragment_only_mask'
+               if predictor.with_pocket and 'fragment_only_mask' in batch
+               else 'fragment_mask')
+        frag = np.asarray(batch[key])[..., 0]
+        sized = dict(batch)
+        sized['edge_mask'] = reference_edge_mask(frag)
+        if predictor.with_pocket:
+            sized.setdefault('fragment_only_mask', batch[key])
+        return predictor.predict_sizes(params, sized, state)
+
+    return fn

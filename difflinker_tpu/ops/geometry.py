@@ -155,6 +155,78 @@ def gather_neighbors(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Block-sparse tile-pair layout for distance graphs
+#
+# The K-neighbor-list layout (neighbor_lists above) minimises FLOPs but pays
+# one row gather per (node, layer); measured on v5e that gather cost makes it
+# LOSE to the dense path at N=256 (docs/ARCHITECTURE.md §5). The tile layout
+# trades FLOPs back for locality: nodes are grouped in contiguous tiles of T
+# rows, each row-tile keeps its M most-connected neighbour tiles, and edge
+# work runs MXU-dense over (T, M*T) blocks. Gathers touch whole contiguous
+# tiles ((B, nT, M) indices instead of (B, N, K)), amortising the gather cost
+# T-fold. Exact vs the dense path whenever M covers every tile pair holding
+# an admissible edge (same criterion as K >= max degree for neighbor_lists).
+# ---------------------------------------------------------------------------
+
+def tile_neighbor_lists(
+    x: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    linker_mask: jnp.ndarray,
+    fragment_only_mask: jnp.ndarray,
+    pocket_only_mask: jnp.ndarray,
+    graph_type: str,
+    tile: int,
+    m: int,
+):
+    """Fixed-shape tile-pair neighbour lists for the distance graphs
+    (src/egnn.py:554-596 semantics, block-sparse TPU layout).
+
+    Returns (tidx (B, nT, M) int32 — per row-tile, the M neighbour tiles with
+    the most admissible edges; emask (B, nT, T, M*T, 1) in {0, 1} — the exact
+    per-edge admissibility within the selected blocks).
+    """
+    B, N = x.shape[:2]
+    if N % tile:
+        raise ValueError(f'N={N} not divisible by tile={tile}')
+    nT = N // tile
+    m = min(m, nT)
+    adj = distance_edge_mask(x, node_mask, linker_mask, fragment_only_mask,
+                             pocket_only_mask, graph_type)[..., 0]
+    tadj = adj.reshape(B, nT, tile, nT, tile)
+    counts = jnp.sum(tadj, axis=(2, 4))                    # (B, nT, nT)
+    _, tidx = jax.lax.top_k(counts, m)                     # (B, nT, M)
+    # per-edge masks of the selected blocks: (B, nT_i, nT_j, T, T) -> gather
+    tadj_p = jnp.transpose(tadj, (0, 1, 3, 2, 4))
+    em = jax.vmap(jax.vmap(lambda rows, ti: rows[ti]))(tadj_p, tidx)
+    em = jnp.transpose(em, (0, 1, 3, 2, 4)).reshape(B, nT, tile, m * tile)
+    return tidx.astype(jnp.int32), em[..., None]
+
+
+def gather_tiles(a: jnp.ndarray, tidx: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """a (B, N, F), tidx (B, nT, M) -> neighbour-tile rows (B, nT, M*T, F).
+    One contiguous T-row gather per (row-tile, neighbour-tile)."""
+    B, N, F = a.shape
+    nT = N // tile
+    at = a.reshape(B, nT, tile, F)
+    g = jax.vmap(lambda ab, ib: ab[ib])(at, tidx)          # (B, nT, M, T, F)
+    return g.reshape(B, nT, tidx.shape[-1] * tile, F)
+
+
+def coord2diff_tiles(x: jnp.ndarray, tidx: jnp.ndarray, tile: int,
+                     norm_constant: float = 1.0):
+    """coord2diff over tile-pair blocks: x (B, N, 3), tidx (B, nT, M) ->
+    d2 (B, nT, T, M*T, 1), cdiff (B, nT, T, M*T, 3), row i <- neighbour j."""
+    B, N, _ = x.shape
+    nT = N // tile
+    xj = gather_tiles(x, tidx, tile)                       # (B, nT, MT, 3)
+    xi = x.reshape(B, nT, tile, 1, 3)
+    diff = xi - xj[:, :, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    norm = jnp.sqrt(d2 + EPS_D2)
+    return d2, diff / (norm + norm_constant)
+
+
+# ---------------------------------------------------------------------------
 # Masked centre-of-mass operations (reference: src/utils.py:50-96)
 # ---------------------------------------------------------------------------
 

@@ -20,7 +20,8 @@ from difflinker_tpu.sample.sampler import LinkerSampler
 
 def sample_and_analyze(sampler: LinkerSampler, batches: Iterable[Dict],
                        key, *, n_samples: int = 10, is_geom: bool = False,
-                       keep_pocket: bool = False) -> Dict[str, float]:
+                       keep_pocket: bool = False,
+                       size_spec='ground_truth') -> Dict[str, float]:
     pred_mols, true_mols, true_frags = [], [], []
 
     for b_idx, batch in enumerate(batches):
@@ -39,7 +40,7 @@ def sample_and_analyze(sampler: LinkerSampler, batches: Iterable[Dict],
         for s_idx in range(n_samples):
             out = sampler.sample(
                 batch, jax.random.fold_in(key, b_idx * 1000 + s_idx),
-                size_spec='ground_truth')
+                size_spec=size_spec)
             node_mask = out['node_mask']
             if 'pocket_mask' in out and not keep_pocket:
                 node_mask = node_mask - out['pocket_mask']

@@ -104,8 +104,10 @@ def main():
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--csv', type=str, default=None)
     ap.add_argument('--impls', type=str, default='xla',
-                    help="comma list: 'xla' (dense) or 'sparseK' "
-                         '(K-neighbor lists, distance graphs only)')
+                    help="comma list: 'xla' (dense), 'sparseK' (K-neighbor "
+                         "lists) or 'tileT.M' (block-sparse tile pairs, e.g. "
+                         'tile64.4) — sparse impls apply to distance graphs '
+                         'only')
     ap.add_argument('--dtypes', type=str, default='float32,bfloat16')
     ap.add_argument('--shapes', type=str, default=None,
                     help='comma-separated labels (default: all)')
@@ -124,15 +126,21 @@ def main():
             continue
         for dtype in args.dtypes.split(','):
             for impl in args.impls.split(','):
-                k = None
+                k = tile = tile_m = None
                 if impl.startswith('sparse'):
                     if gt == 'FC':
                         continue  # neighbor lists apply to distance graphs
                     k = int(impl[len('sparse'):])
+                elif impl.startswith('tile'):
+                    if gt == 'FC':
+                        continue
+                    tile, tile_m = (int(v) for v in
+                                    impl[len('tile'):].split('.'))
                 cfg = ModelConfig(
                     in_node_nf=in_nf, context_node_nf=ctx_nf, hidden_nf=128,
                     n_layers=L, inv_sublayers=2, norm_constant=1e-6,
-                    graph_type=GraphType(gt), dtype=dtype, neighbor_k=k)
+                    graph_type=GraphType(gt), dtype=dtype, neighbor_k=k,
+                    tile_size=tile, tile_neighbors=tile_m)
                 try:
                     dt = bench_forward(cfg, B, N, args.steps)
                 except Exception as e:

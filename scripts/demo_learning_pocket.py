@@ -19,6 +19,12 @@ def main():
     p.add_argument('--val-size', type=int, default=64)
     p.add_argument('--batch-size', type=int, default=64)
     p.add_argument('--layers', type=int, default=5)
+    p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--lr', type=float, default=4e-4)
+    p.add_argument('--com', choices=['fragments', 'anchors'],
+                   default='fragments',
+                   help='centering frame; the reference pocket config '
+                        '(configs/pockets_difflinker_full.yml) uses anchors')
     p.add_argument('--n-eval-samples', type=int, default=1)
     p.add_argument('--out', type=str, default=None)
     args = p.parse_args()
@@ -36,14 +42,15 @@ def main():
 
     cfg = ExperimentConfig(
         exp_name='synthetic_pocket_demo',
-        model=ModelConfig(in_node_nf=8, context_node_nf=3, hidden_nf=128,
+        model=ModelConfig(in_node_nf=8, context_node_nf=3,
+                          hidden_nf=args.hidden,
                           n_layers=args.layers, norm_constant=1e-6,
                           graph_type=GraphType.A4),
         diffusion=DiffusionConfig(timesteps=100),
         data=DataConfig(family=DatasetFamily.MOAD, pocket_mode=PocketMode.FULL),
-        train=TrainConfig(lr=4e-4, batch_size=args.batch_size,
+        train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
                           n_stability_samples=1,
-                          center_of_mass=CenterOfMass.FRAGMENTS))
+                          center_of_mass=CenterOfMass(args.com)))
 
     print(f'generating {args.train_size}+{args.val_size} complexes...',
           flush=True)

@@ -131,3 +131,34 @@ def test_sampling_determinism(setup):
     b = sampler.sample(batch, jax.random.PRNGKey(42), size_spec=5)
     np.testing.assert_array_equal(a['positions'], b['positions'])
     np.testing.assert_array_equal(a['one_hot'], b['one_hot'])
+
+
+def test_size_prediction_fn_matches_fragment_edges_collate():
+    """size_prediction_fn rebuilds the fragment-edges graph from a standard
+    collate batch; its sizes must equal predict_sizes on the real
+    collate(fragment_edges_only=True) batch (generate.py:88-99 journey)."""
+    import jax.numpy as jnp
+    from difflinker_tpu import constants
+    from difflinker_tpu.data.collate import collate
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    from difflinker_tpu.models.size_gnn import SizePredictor, size_prediction_fn
+
+    ds = synthetic_molecule_dataset(6, seed=11)
+    predictor = SizePredictor(
+        in_node_nf=constants.NUMBER_OF_ATOM_TYPES, hidden_nf=32,
+        out_node_nf=len(constants.ZINC_TRAIN_LINKER_ID2SIZE), n_layers=2)
+    params, bn_state = predictor.init(jax.random.PRNGKey(0))
+
+    std = collate(ds.samples)
+    frag = collate(ds.samples, fragment_edges_only=True)
+    want = predictor.predict_sizes(
+        params, {k: jnp.asarray(v) for k, v in frag.items()
+                 if isinstance(v, np.ndarray) and v.dtype != object}, bn_state)
+    got = size_prediction_fn(predictor, params, bn_state)(std)
+    np.testing.assert_array_equal(got, want)
+
+    # and it feeds straight into the sampler's size resolution
+    sizes = resolve_linker_sizes(
+        size_prediction_fn(predictor, params, bn_state), std,
+        jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(sizes, want)
