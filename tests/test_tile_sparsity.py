@@ -143,3 +143,79 @@ def test_tile_size_must_divide_n(rng):
     with pytest.raises(ValueError, match='not divisible'):
         geometry.tile_neighbor_lists(xh[..., :3], nm, link, frag_only,
                                      pocket, '4A', tile=7, m=2)
+
+
+def test_morton_sort_improves_tile_coverage(rng):
+    """Sorting pocket rows along the Morton curve (data/spatial.py) preserves
+    model semantics (permutation equivariance of the dense path) and reduces
+    the M needed for exact tile coverage on a spread-out pocket."""
+    from difflinker_tpu.data.spatial import morton_codes, sort_pocket_rows
+
+    n_frag, n_pock, n_link = 8, 112, 8
+    N = n_frag + n_pock + n_link  # 128
+    pos = np.zeros((N, 3), np.float32)
+    pos[:n_frag] = rng.standard_normal((n_frag, 3)) * 1.5
+    # pocket: scattered cloud, rows in RANDOM order (worst-case locality)
+    pos[n_frag:n_frag + n_pock] = rng.standard_normal((n_pock, 3)) * 8.0
+    pos[n_frag + n_pock:] = rng.standard_normal((n_link, 3)) * 1.5
+    sample = {
+        'positions': pos,
+        'one_hot': np.eye(9, dtype=np.float32)[rng.integers(0, 9, N)],
+        'fragment_only_mask': np.r_[np.ones(n_frag), np.zeros(n_pock + n_link)
+                                    ].astype(np.float32),
+        'pocket_mask': np.r_[np.zeros(n_frag), np.ones(n_pock),
+                             np.zeros(n_link)].astype(np.float32),
+        'linker_mask': np.r_[np.zeros(n_frag + n_pock),
+                             np.ones(n_link)].astype(np.float32),
+        'anchors': np.zeros(N, np.float32),
+    }
+    sample['fragment_mask'] = sample['fragment_only_mask'] + sample['pocket_mask']
+    srt = sort_pocket_rows(sample)
+
+    # multiset of pocket rows preserved; non-pocket rows untouched
+    assert sorted(map(tuple, srt['positions'][n_frag:n_frag + n_pock])) == \
+        sorted(map(tuple, pos[n_frag:n_frag + n_pock]))
+    np.testing.assert_array_equal(srt['positions'][:n_frag], pos[:n_frag])
+    np.testing.assert_array_equal(srt['positions'][n_frag + n_pock:],
+                                  pos[n_frag + n_pock:])
+    # codes of the sorted pocket are monotone
+    codes = morton_codes(srt['positions'][n_frag:n_frag + n_pock])
+    assert (np.diff(codes.astype(np.int64)) >= 0).all()
+
+    def m_needed(p, tile):
+        nm = np.ones((1, N, 1), np.float32)
+        dense = geometry.distance_edge_mask(
+            jnp.asarray(p[None]), jnp.asarray(nm),
+            jnp.asarray(sample['linker_mask'][None, :, None]),
+            jnp.asarray(sample['fragment_only_mask'][None, :, None]),
+            jnp.asarray(sample['pocket_mask'][None, :, None]), '4A')[..., 0]
+        nT = N // tile
+        c = np.asarray(dense).reshape(1, nT, tile, nT, tile).sum((2, 4))
+        return int((c > 0).sum(-1).max())
+
+    tile = 16
+    assert m_needed(srt['positions'], tile) <= m_needed(pos, tile)
+    assert m_needed(srt['positions'], tile) < N // tile  # real sparsity
+
+    # permutation equivariance: dense output rows permute with the input
+    cfg = _tile_cfg('4A')
+    params = init_dynamics(jax.random.PRNGKey(0), cfg)
+
+    def fwd(s):
+        xh = jnp.asarray(np.concatenate([s['positions'], s['one_hot']],
+                                        -1)[None])
+        nm = jnp.ones((1, N, 1))
+        lk = jnp.asarray(s['linker_mask'][None, :, None])
+        ctx = jnp.asarray(np.stack([s['anchors'],
+                                    s['fragment_only_mask'],
+                                    s['pocket_mask']], -1)[None])
+        out, _ = dynamics_apply(params, jnp.full((1, 1), 0.3), xh, nm, lk,
+                                None, ctx, cfg=cfg)
+        return np.asarray(out)[0]
+
+    perm = np.arange(N)
+    order = np.lexsort(srt['positions'].T)
+    base = np.lexsort(sample['positions'].T)
+    perm[order] = base  # maps unsorted rows onto sorted rows
+    np.testing.assert_allclose(fwd(srt), fwd(sample)[perm], atol=2e-5,
+                               rtol=1e-5)
