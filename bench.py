@@ -12,11 +12,13 @@ Baseline: the PyTorch reference (igashov/DiffLinker) measured on this host
 0.0197 linkers/s. No GPU exists in this container and the repo publishes no
 numbers (BASELINE.md), so same-host-measured is the only honest denominator.
 
-Implementation note: both lines run the dense XLA path — two generations of
-fused Pallas kernels and a gather-based sparse path were benchmarked against
-it and XLA wins at these shapes (docs/ARCHITECTURE.md §5 has the full table;
-the sparse path wins only at N >= 512 and is opt-in via
-ModelConfig.neighbor_k).
+Implementation note: the ZINC line runs the dense XLA path — two generations
+of fused Pallas kernels and a gather-based sparse path were benchmarked
+against it and XLA wins at that shape (docs/ARCHITECTURE.md §5 has the full
+table). The pocket line races the dense layout against the block-sparse
+tile-pair layout (ModelConfig.tile_size, exact at the computed M) and
+reports whichever wins; the K-neighbor sparse path (ModelConfig.neighbor_k)
+remains the opt-in for very large pockets (N >= 512).
 """
 import json
 import sys
@@ -67,6 +69,7 @@ def _zinc_inputs(B, N, n_frag=14):
 
 def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
     import jax.numpy as jnp
+    from difflinker_tpu.data.spatial import morton_codes
 
     rng = np.random.default_rng(1)
     node_mask = np.zeros((B, N, 1), np.float32)
@@ -79,12 +82,33 @@ def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
     link = (node_mask - frag_only - pocket) * node_mask
     frag = frag_only + pocket  # MOAD convention: fragment = frag ∪ pocket
     x = (rng.standard_normal((B, N, 3)).astype(np.float32) * 6) * node_mask
+    # pocket rows Morton-ordered, as the data layer provides
+    # (LinkerDataset.spatially_sorted) — the tile layout's coverage depends
+    # on row locality; real PDB pockets arrive residue-ordered anyway.
+    for b in range(B):
+        rows = np.arange(n_lig, n_lig + n_pocket)
+        x[b, rows] = x[b, rows[np.argsort(morton_codes(x[b, rows]))]]
     h = np.eye(9, dtype=np.float32)[rng.integers(0, 9, (B, N))] * node_mask
     anchors = np.zeros((B, N, 1), np.float32)
     anchors[:, [0, n_frag - 1]] = 1
     ctx = np.concatenate([anchors, frag_only, pocket], -1) * node_mask
     return [jnp.asarray(a) for a in (x, h, node_mask, frag, link)] + \
         [None, jnp.asarray(ctx)]
+
+
+def _tile_m_needed(args_list, tile):
+    """Smallest M that exactly covers the 4A graph of these inputs, +1 slack
+    for linker motion during the chain (fragment/pocket atoms are frozen)."""
+    from difflinker_tpu.ops.geometry import distance_edge_mask
+    x, _, node_mask, frag, link = args_list[:5]
+    ctx = args_list[6]
+    frag_only, pocket = ctx[..., -2:-1], ctx[..., -1:]
+    adj = np.asarray(distance_edge_mask(x, node_mask, link, frag_only,
+                                        pocket, '4A')[..., 0])
+    B, N = adj.shape[:2]
+    nT = N // tile
+    counts = adj.reshape(B, nT, tile, nT, tile).sum((2, 4))
+    return min(int((counts > 0).sum(-1).max()) + 1, nT)
 
 
 def main():
@@ -110,14 +134,26 @@ def main():
     mfu = fl / dt / peak16 if peak16 else float('nan')
 
     # -- pocket line: 4A distance graphs, bf16-mixed ------------------------
+    # Races the dense (B, N, N) layout against the block-sparse tile-pair
+    # layout (ModelConfig.tile_size; exact at the computed M) and reports
+    # whichever wins on this chip.
     Bp, Np = 32, 256
-    pcfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
-                       n_layers=6, inv_sublayers=2, norm_constant=1e-6,
-                       graph_type=GraphType.A4, dtype='bfloat16')
-    pedm = make_edm(pcfg, DiffusionConfig(timesteps=T))
-    pparams = pedm.init_params(jax.random.PRNGKey(0))
-    p_lps, p_dt = _chain_throughput(pedm, pparams, _pocket_inputs(Bp, Np), Bp,
-                                    runs=2)
+    p_inputs = _pocket_inputs(Bp, Np)
+    tile = 32
+    tile_m = _tile_m_needed(p_inputs, tile)
+    p_results = {}
+    for impl, extra in (('xla-dense', {}),
+                        (f'tile{tile}.{tile_m}',
+                         dict(tile_size=tile, tile_neighbors=tile_m))):
+        pcfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
+                           n_layers=6, inv_sublayers=2, norm_constant=1e-6,
+                           graph_type=GraphType.A4, dtype='bfloat16', **extra)
+        pedm = make_edm(pcfg, DiffusionConfig(timesteps=T))
+        pparams = pedm.init_params(jax.random.PRNGKey(0))
+        p_results[impl] = _chain_throughput(pedm, pparams, p_inputs, Bp,
+                                            runs=2) + (pcfg,)
+    p_impl = max(p_results, key=lambda k: p_results[k][0])
+    p_lps, p_dt, pcfg = p_results[p_impl]
     p_fl = flops_lib.chain_flops(Bp, Np, T, pcfg)
 
     print(json.dumps({
@@ -135,6 +171,10 @@ def main():
                       '6x128 EGNN bf16)',
             'value': round(p_lps, 2),
             'unit': 'linkers/sec/chip',
+            'impl': p_impl,
+            'all_impls': {k: round(v[0], 2) for k, v in p_results.items()},
+            # FLOPs model is the dense algorithm's: for the tile impl this is
+            # effective (dense-equivalent) throughput, not executed FLOPs
             'tflops': round(p_fl / p_dt / 1e12, 2),
             'mfu': round(p_fl / p_dt / peak16, 4) if peak16 else None,
         },

@@ -68,14 +68,8 @@ def fragment_sample_dict(args, is_geom):
 
 def resolve_size_spec(args, cfg):
     if args.size_model:
-        from difflinker_tpu.io.lightning_import import load_size_checkpoint
-        from difflinker_tpu.models.size_gnn import SizePredictor
-        hp, params, state = load_size_checkpoint(args.size_model)
-        predictor = SizePredictor(
-            in_node_nf=hp['in_node_nf'], hidden_nf=hp['hidden_nf'],
-            out_node_nf=hp['out_node_nf'], n_layers=hp['n_layers'],
-            task=hp.get('task', 'classification'))
-        return lambda batch: predictor.predict_sizes(params, batch, state)
+        from difflinker_tpu.cli.sample import load_size_spec
+        return load_size_spec(args.size_model)
     return parse_size_spec(args.linker_size)
 
 

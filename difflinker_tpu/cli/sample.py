@@ -37,6 +37,9 @@ def build_argparser():
     p.add_argument('--steps', type=int, default=None, help='override T')
     p.add_argument('--linker-size', type=str, default='ground_truth',
                    help="'ground_truth' | 'prior' | int | 'lo,hi'")
+    p.add_argument('--linker-size-model', type=str, default=None,
+                   help='SizeClassifier .ckpt for learned size prediction '
+                        '(reference sample.py:66-81)')
     p.add_argument('--out', type=str, default='samples')
     p.add_argument('--seed', type=int, default=0)
     return p
@@ -49,6 +52,22 @@ def parse_size_spec(s: str):
         lo, hi = s.split(',')
         return (int(lo), int(hi))
     return int(s)
+
+
+def load_size_spec(size_model: str):
+    """SizeClassifier .ckpt → sampler size callable (reference sample.py:66-81,
+    generate.py:88-99). Uses size_prediction_fn so the predictor sees the
+    fragment-edges graph regardless of which collate built the batch."""
+    from difflinker_tpu.io.lightning_import import load_size_checkpoint
+    from difflinker_tpu.models.size_gnn import (SizePredictor,
+                                                size_prediction_fn)
+    hp, params, state = load_size_checkpoint(size_model)
+    predictor = SizePredictor(
+        in_node_nf=hp['in_node_nf'], hidden_nf=hp['hidden_nf'],
+        out_node_nf=hp['out_node_nf'], n_layers=hp['n_layers'],
+        task=hp.get('task', 'classification'),
+        with_pocket=hp.get('with_pocket', False))
+    return size_prediction_fn(predictor, params, state)
 
 
 def load_model(args):
@@ -96,7 +115,9 @@ def main(argv=None):
         ds = LinkerDataset.from_pt(args.data, args.prefix)
 
     sampler = LinkerSampler(cfg, params)
-    size_spec = parse_size_spec(args.linker_size)
+    size_spec = (load_size_spec(args.linker_size_model)
+                 if args.linker_size_model
+                 else parse_size_spec(args.linker_size))
     key = jax.random.PRNGKey(args.seed)
     os.makedirs(args.out, exist_ok=True)
     is_geom = cfg.data.is_geom

@@ -98,6 +98,14 @@ class LinkerDataset:
         self.samples = samples
         self.buckets = tuple(buckets or constants.DEFAULT_SIZE_BUCKETS)
 
+    def spatially_sorted(self) -> 'LinkerDataset':
+        """Copy with pocket rows Morton-ordered (data/spatial.py) — improves
+        the exact-coverage M of the block-sparse tile layout
+        (ModelConfig.tile_size). No-op for pocket-free samples."""
+        from difflinker_tpu.data.spatial import sort_pocket_rows
+        return LinkerDataset([sort_pocket_rows(s) for s in self.samples],
+                             self.buckets)
+
     # -- constructors --------------------------------------------------------
 
     @classmethod

@@ -206,3 +206,47 @@ def test_load_learned_gamma_checkpoint(tmp_path):
         ref = edm.gamma(torch.tensor(t)).numpy()
     got = np.asarray(gamma_network_apply(params['gamma'], jnp.asarray(t)))
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_load_size_spec_from_reference_ckpt(tmp_path, rng):
+    """A reference-format SizeClassifier .ckpt drives cli.sample's
+    --linker-size-model path: load_size_spec builds the fragment-edges graph
+    itself and its sizes match the torch model's argmax decode."""
+    import sys
+    sys.path.insert(0, '/root/reference')
+    import torch
+    from src.linker_size import SizeGNN as TorchSizeGNN
+
+    from conftest import make_batch
+    from difflinker_tpu import constants
+    from difflinker_tpu.cli.sample import load_size_spec
+    from difflinker_tpu.data.collate import reference_edge_mask
+
+    torch.manual_seed(7)
+    tmodel = TorchSizeGNN(in_node_nf=8, hidden_nf=24, out_node_nf=10,
+                          n_layers=2, normalization='batch_norm').eval()
+    ckpt = {
+        'hyper_parameters': {'in_node_nf': 8, 'hidden_nf': 24,
+                             'out_node_nf': 10, 'n_layers': 2,
+                             'normalization': 'batch_norm'},
+        'state_dict': {f'gnn.{k}': v for k, v in
+                       tmodel.state_dict().items()},
+    }
+    path = tmp_path / 'size_classifier.ckpt'
+    torch.save(ckpt, str(path))
+
+    batch = make_batch(rng, B=4, N=16, nf=8, n_frag=7, n_real=13)
+    fn = load_size_spec(str(path))
+    sizes = fn(batch)
+    assert sizes.shape == (4,)
+    assert all(int(s) in list(constants.ZINC_TRAIN_LINKER_ID2SIZE)
+               for s in sizes)
+
+    # cross-check against the torch forward on the fragment-edges graph
+    from test_parity_size_gnn import _torch_forward
+    tb = dict(batch)
+    tb['edge_mask'] = reference_edge_mask(batch['fragment_mask'][..., 0])
+    logits = _torch_forward(tmodel, tb, 8)
+    want = np.asarray([constants.ZINC_TRAIN_LINKER_ID2SIZE[int(i)]
+                       for i in logits.argmax(-1)])
+    np.testing.assert_array_equal(sizes, want)

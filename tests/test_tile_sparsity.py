@@ -219,3 +219,25 @@ def test_morton_sort_improves_tile_coverage(rng):
     perm[order] = base  # maps unsorted rows onto sorted rows
     np.testing.assert_allclose(fwd(srt), fwd(sample)[perm], atol=2e-5,
                                rtol=1e-5)
+
+
+def test_dataset_spatially_sorted():
+    """LinkerDataset.spatially_sorted Morton-orders pocket rows and leaves
+    batches collate-compatible."""
+    from difflinker_tpu.data.collate import collate
+    from difflinker_tpu.data.spatial import morton_codes
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+
+    ds = synthetic_molecule_dataset(4, seed=9, pocket_range=(8, 16))
+    srt = ds.spatially_sorted()
+    assert len(srt) == len(ds)
+    for a, b in zip(ds.samples, srt.samples):
+        pk = np.asarray(a['pocket_mask']).reshape(-1) > 0
+        assert sorted(map(tuple, np.asarray(b['positions'])[pk])) == \
+            sorted(map(tuple, np.asarray(a['positions'])[pk]))
+        codes = morton_codes(np.asarray(b['positions'])[pk])
+        assert (np.diff(codes.astype(np.int64)) >= 0).all()
+        np.testing.assert_array_equal(np.asarray(b['positions'])[~pk],
+                                      np.asarray(a['positions'])[~pk])
+    batch = collate(srt.samples)
+    assert batch['positions'].ndim == 3
