@@ -96,21 +96,6 @@ def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
         [None, jnp.asarray(ctx)]
 
 
-def _tile_m_needed(args_list, tile):
-    """Smallest M that exactly covers the 4A graph of these inputs, +1 slack
-    for linker motion during the chain (fragment/pocket atoms are frozen)."""
-    from difflinker_tpu.ops.geometry import distance_edge_mask
-    x, _, node_mask, frag, link = args_list[:5]
-    ctx = args_list[6]
-    frag_only, pocket = ctx[..., -2:-1], ctx[..., -1:]
-    adj = np.asarray(distance_edge_mask(x, node_mask, link, frag_only,
-                                        pocket, '4A')[..., 0])
-    B, N = adj.shape[:2]
-    nT = N // tile
-    counts = adj.reshape(B, nT, tile, nT, tile).sum((2, 4))
-    return min(int((counts > 0).sum(-1).max()) + 1, nT)
-
-
 def main():
     import jax
 
@@ -134,26 +119,20 @@ def main():
     mfu = fl / dt / peak16 if peak16 else float('nan')
 
     # -- pocket line: 4A distance graphs, bf16-mixed ------------------------
-    # Races the dense (B, N, N) layout against the block-sparse tile-pair
-    # layout (ModelConfig.tile_size; exact at the computed M) and reports
-    # whichever wins on this chip.
+    # Dense is the fastest EXACT layout at this shape (measured 2026-08-16,
+    # scripts/bench_kernels.py: dense 30.8 ms/fwd vs exact-coverage tile
+    # 31.1 ms and sparse-K 58.9 ms; the K-neighbor layout overtakes at
+    # N >= 512 and the tile layout is an opt-in speed/fidelity dial —
+    # docs/ARCHITECTURE.md §5).
     Bp, Np = 32, 256
     p_inputs = _pocket_inputs(Bp, Np)
-    tile = 32
-    tile_m = _tile_m_needed(p_inputs, tile)
-    p_results = {}
-    for impl, extra in (('xla-dense', {}),
-                        (f'tile{tile}.{tile_m}',
-                         dict(tile_size=tile, tile_neighbors=tile_m))):
-        pcfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
-                           n_layers=6, inv_sublayers=2, norm_constant=1e-6,
-                           graph_type=GraphType.A4, dtype='bfloat16', **extra)
-        pedm = make_edm(pcfg, DiffusionConfig(timesteps=T))
-        pparams = pedm.init_params(jax.random.PRNGKey(0))
-        p_results[impl] = _chain_throughput(pedm, pparams, p_inputs, Bp,
-                                            runs=2) + (pcfg,)
-    p_impl = max(p_results, key=lambda k: p_results[k][0])
-    p_lps, p_dt, pcfg = p_results[p_impl]
+    pcfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
+                       n_layers=6, inv_sublayers=2, norm_constant=1e-6,
+                       graph_type=GraphType.A4, dtype='bfloat16')
+    pedm = make_edm(pcfg, DiffusionConfig(timesteps=T))
+    pparams = pedm.init_params(jax.random.PRNGKey(0))
+    p_impl = 'xla-dense'
+    p_lps, p_dt = _chain_throughput(pedm, pparams, p_inputs, Bp, runs=2)
     p_fl = flops_lib.chain_flops(Bp, Np, T, pcfg)
 
     print(json.dumps({
@@ -172,9 +151,6 @@ def main():
             'value': round(p_lps, 2),
             'unit': 'linkers/sec/chip',
             'impl': p_impl,
-            'all_impls': {k: round(v[0], 2) for k, v in p_results.items()},
-            # FLOPs model is the dense algorithm's: for the tile impl this is
-            # effective (dense-equivalent) throughput, not executed FLOPs
             'tflops': round(p_fl / p_dt / 1e12, 2),
             'mfu': round(p_fl / p_dt / peak16, 4) if peak16 else None,
         },

@@ -48,6 +48,13 @@ def build_inputs(B, N, in_nf, ctx_nf, graph_type, seed=0):
     link = node_mask - frag
     # spread coords so distance graphs have realistic (sparse) degree
     x = rng.standard_normal((B, N, 3)).astype(np.float32) * (N ** (1 / 3))
+    if graph_type != 'FC':
+        # Morton-order the pocket span, as the data layer provides
+        # (LinkerDataset.spatially_sorted) — tile-coverage M depends on it
+        from difflinker_tpu.data.spatial import morton_codes
+        for b in range(B):
+            rows = np.arange(n_frag, N)
+            x[b, rows] = x[b, rows[np.argsort(morton_codes(x[b, rows]))]]
     h = np.eye(in_nf, dtype=np.float32)[rng.integers(0, in_nf, (B, N))]
     anchors = np.zeros((B, N, 1), np.float32)
     anchors[:, [1, n_frag - 1]] = 1
