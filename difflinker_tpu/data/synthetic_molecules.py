@@ -183,17 +183,36 @@ def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
 
 def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
                                frag_range=(4, 8), linker_range=(3, 8),
-                               pocket_range=None) -> LinkerDataset:
+                               pocket_range=None,
+                               coupled_linker_size: bool = False) -> LinkerDataset:
+    """coupled_linker_size: make the linker size a function of the fragment
+    sizes instead of independent noise. The SizeGNN sees fragments only,
+    through the reference's d²<6 edge gate (which hides inter-fragment
+    geometry — src/linker_size_lightning.py:106-109), so fragment-content
+    coupling is the only signal a size predictor can legitimately learn from
+    this generator; the default independent sizes make size prediction
+    unlearnable by construction (Bayes accuracy = the prior's)."""
     rng = np.random.default_rng(seed)
+    lo, hi = linker_range
     samples = []
     attempts = 0
     while len(samples) < n_samples and attempts < n_samples * 20:
         attempts += 1
+        n_frag1 = int(rng.integers(*frag_range))
+        n_frag2 = int(rng.integers(*frag_range))
+        if coupled_linker_size:
+            # monotone in the total fragment atom count (a pooled GNN can
+            # count atoms; a modular rule would be parity-like noise to it)
+            span = (frag_range[1] - 1) * 2 - frag_range[0] * 2 + 1
+            frac = (n_frag1 + n_frag2 - frag_range[0] * 2) / max(span - 1, 1)
+            n_linker = lo + int(round(frac * (hi - 1 - lo)))
+        else:
+            n_linker = int(rng.integers(lo, hi))
         s = make_molecule_sample(
             rng,
-            n_frag1=int(rng.integers(*frag_range)),
-            n_frag2=int(rng.integers(*frag_range)),
-            n_linker=int(rng.integers(*linker_range)),
+            n_frag1=n_frag1,
+            n_frag2=n_frag2,
+            n_linker=n_linker,
             uuid=len(samples))
         if s is not None and pocket_range is not None:
             s = _add_pocket_shell(rng, s, int(rng.integers(*pocket_range)))

@@ -2,15 +2,31 @@
 """Learned-size end-to-end demo (ROADMAP gap: size-conditioned sampling
 scored against ground truth).
 
-Trains a SizePredictor (classification head) on the learnable synthetic
-molecules, reports its size accuracy against the categorical-prior and
-majority-class baselines, then trains the diffusion model and compares the
-full sampling metrics under three size sources:
+Trains a SizePredictor (classification head) on the synthetic molecules
+(with sizes coupled to fragment content — see
+synthetic_molecules.coupled_linker_size), reports its size accuracy against
+the categorical-prior and majority-class baselines, then trains the
+diffusion model and compares the full sampling metrics under three size
+sources:
 
   * ground_truth — oracle linker sizes (upper bound),
   * predictor    — the trained SizeGNN via size_prediction_fn
                    (the generate.py:88-99 user journey),
   * prior        — DistributionNodes categorical prior (lower bound).
+
+Honest ceiling, measured 2026-08-16: on THIS generator the only size signal
+a fragment-only model can use is the pooled atom count, and the reference
+SizeGNN architecture (BatchNorm over B·N rows, mean-pool readout,
+d²<6-gated edges) learns such pooled-count signals only *relative to batch
+statistics* — train-mode (batch-stat) val MSE reaches 0.23 while eval-mode
+(running-stat) predictions collapse to ~prior quality, across
+classification/ordinal/regression heads, lr schedules, stats-refresh and
+affine recalibration. Real ZINC fragments carry node-local chemistry the
+architecture demonstrably does learn (the published predictor); meaningful
+accuracy here therefore needs the real datasets (ROADMAP gap). This demo
+still proves the full journey: train -> checkpoint-compatible predictor ->
+size_prediction_fn -> sampler -> metrics, and quantifies what oracle vs
+prior sizes are worth downstream.
 
     python scripts/demo_size_conditioned.py [--epochs 600]
 """
@@ -57,8 +73,12 @@ def main():
     t0 = time.time()
     print(f'generating {args.train_size}+{args.val_size} molecules...',
           flush=True)
-    train_raw = synthetic_molecule_dataset(args.train_size, seed=0)
-    val_ds = synthetic_molecule_dataset(args.val_size, seed=1)
+    # coupled sizes: the d²<6-gated fragment graph hides inter-fragment
+    # geometry, so independent sizes would be unlearnable by construction
+    train_raw = synthetic_molecule_dataset(args.train_size, seed=0,
+                                           coupled_linker_size=True)
+    val_ds = synthetic_molecule_dataset(args.val_size, seed=1,
+                                        coupled_linker_size=True)
     true_sizes = np.asarray(
         [int(np.asarray(s['linker_mask']).sum()) for s in val_ds.samples],
         np.int32)
@@ -70,7 +90,9 @@ def main():
         out_node_nf=len(constants.ZINC_TRAIN_LINKER_ID2SIZE),
         n_layers=args.size_layers)
     sparams, bn_state = predictor.init(jax.random.PRNGKey(2))
-    tx = optax.adam(1e-3)
+    steps_per_epoch = max(len(train_raw.samples) // args.batch_size, 1)
+    tx = optax.adam(optax.cosine_decay_schedule(
+        1e-3, args.size_epochs * steps_per_epoch))
     opt_state = tx.init(sparams)
 
     @jax.jit

@@ -58,3 +58,24 @@ def test_pocket_shell_generation():
         # pocket atoms never bond to the ligand
         orders = bond_order_matrix(s['positions'], s['one_hot'].argmax(-1))
         assert orders[pk][:, ~pk].sum() == 0
+
+
+def test_coupled_linker_size_rule():
+    """coupled_linker_size makes the linker size a deterministic monotone
+    function of the total fragment atom count (the only signal a
+    fragment-only size model can read from this generator)."""
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+
+    ds = synthetic_molecule_dataset(60, seed=3, coupled_linker_size=True)
+    seen = {}
+    for s in ds.samples:
+        n_frag = int(np.asarray(s['fragment_mask']).sum())
+        n_link = int(np.asarray(s['linker_mask']).sum())
+        assert 3 <= n_link <= 7
+        if n_frag in seen:
+            assert seen[n_frag] == n_link  # deterministic in the count
+        seen[n_frag] = n_link
+    counts = sorted(seen)
+    sizes = [seen[c] for c in counts]
+    assert sizes == sorted(sizes)  # monotone
+    assert len(set(sizes)) >= 3    # spans several classes
