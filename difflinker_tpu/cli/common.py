@@ -42,3 +42,30 @@ def add_config_arg(parser: argparse.ArgumentParser):
     parser.add_argument('--config', type=str, default=None,
                         help='YAML config (ours or reference-format)')
     return parser
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Persistent XLA compilation cache for the CLI surface.
+
+    The T=500 sampling chain compiles once per (batch, bucket) shape at
+    20-40 s each on a TPU; caching compiled programs on disk makes repeat
+    CLI invocations (the reference's sample.py resume loop, generate.py
+    one-shot runs) start in seconds. Opt-out with
+    DIFFLINKER_COMPILE_CACHE=off; override the directory by setting it to a
+    path. No-op if the backend or jax version rejects the cache.
+    """
+    env = os.environ.get('DIFFLINKER_COMPILE_CACHE', '')
+    if env.lower() in ('off', '0', 'none', 'disable'):
+        return None
+    cache_dir = env or cache_dir or os.path.join(
+        os.path.expanduser('~'), '.cache', 'difflinker_tpu', 'xla')
+    try:
+        import jax
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        # cache sub-second compiles too — many small host programs surround
+        # the big chain (measured: the tunneled-TPU backend serialises fine)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+        return cache_dir
+    except Exception:
+        return None

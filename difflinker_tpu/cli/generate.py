@@ -75,6 +75,7 @@ def resolve_size_spec(args, cfg):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    common.enable_compilation_cache()
     cfg, params = load_model(args)
     if args.steps:
         import dataclasses

@@ -15,6 +15,7 @@ from difflinker_tpu.cli.generate_with_protein import build_argparser, run
 
 def main(argv=None):
     args = build_argparser(pocket_is_precut=True).parse_args(argv)
+    common.enable_compilation_cache()
     return run(args, pocket_is_precut=True)
 
 

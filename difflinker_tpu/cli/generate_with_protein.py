@@ -133,6 +133,7 @@ def run(args, pocket_is_precut: bool):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    common.enable_compilation_cache()
     return run(args, pocket_is_precut=False)
 
 

@@ -102,6 +102,7 @@ def already_generated(out_dir, uuids, n_samples):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    common.enable_compilation_cache()
     cfg, params = load_model(args)
     if args.steps:
         import dataclasses

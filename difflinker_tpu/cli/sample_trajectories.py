@@ -38,6 +38,7 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    common.enable_compilation_cache()
     cfg, params = load_model(args)
     if args.synthetic:
         ds = synthetic_dataset(args.synthetic, seed=0, is_geom=cfg.data.is_geom)

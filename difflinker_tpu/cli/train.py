@@ -99,6 +99,7 @@ def save_epoch_animation(cfg, sampler, val_ds, epoch, key):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    common.enable_compilation_cache()
     if args.resume:
         cfg = ckpt_lib.load_config(args.resume)
         run_dir = args.resume

@@ -46,6 +46,7 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    common.enable_compilation_cache()
     if args.geom:
         id2size = constants.GEOM_TRAIN_LINKER_ID2SIZE
         size2id = constants.GEOM_TRAIN_LINKER_SIZE2ID

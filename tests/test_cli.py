@@ -110,3 +110,17 @@ def test_sample_reformat_naming_contract(tmp_path):
     assert len(rows) == 4  # 2 uuids x 2 samples
     sdfs = sorted(os.listdir(os.path.join(out, '0', 'obabel')))
     assert sdfs == ['0_.sdf', '1_.sdf']
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+    from difflinker_tpu.cli import common
+
+    d = str(tmp_path / 'xla')
+    monkeypatch.setenv('DIFFLINKER_COMPILE_CACHE', d)
+    assert common.enable_compilation_cache() == d
+    assert jax.config.jax_compilation_cache_dir == d
+    assert os.path.isdir(d)
+
+    monkeypatch.setenv('DIFFLINKER_COMPILE_CACHE', 'off')
+    assert common.enable_compilation_cache() is None
