@@ -30,6 +30,10 @@ def main():
     p.add_argument('--lr', type=float, default=4e-4)
     p.add_argument('--cosine', action='store_true',
                    help='cosine lr decay over the run')
+    p.add_argument('--timesteps', type=int, default=100,
+                   help='diffusion T (reference flagship trains at 500)')
+    p.add_argument('--save-params', type=str, default=None,
+                   help='save final params as .npz (io.checkpoints.save_params_npz)')
     args = p.parse_args()
 
     import jax
@@ -46,7 +50,7 @@ def main():
         model=ModelConfig(in_node_nf=8, context_node_nf=2,
                           hidden_nf=args.hidden, n_layers=args.layers,
                           norm_constant=1e-6),
-        diffusion=DiffusionConfig(timesteps=100),
+        diffusion=DiffusionConfig(timesteps=args.timesteps),
         data=DataConfig(),
         train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
                           n_stability_samples=1))
@@ -96,6 +100,13 @@ def main():
     if args.out:
         with open(args.out, 'w') as f:
             json.dump(results, f, indent=2)
+    if args.save_params:
+        from difflinker_tpu.io.checkpoints import save_params_npz
+        save_params_npz(state['params'], args.save_params)
+        with open(args.save_params + '.config.json', 'w') as f:
+            json.dump({'hidden': args.hidden, 'layers': args.layers,
+                       'timesteps': args.timesteps}, f)
+        print(f'saved params to {args.save_params}', flush=True)
     first, last = results[0], results[-1]
     print(f'validity {first["validity"]:.2%} -> {last["validity"]:.2%}; '
           f'valid+connected {first["validity_and_connectivity"]:.2%} -> '

@@ -162,3 +162,30 @@ def test_size_prediction_fn_matches_fragment_edges_collate():
         size_prediction_fn(predictor, params, bn_state), std,
         jax.random.PRNGKey(1))
     np.testing.assert_array_equal(sizes, want)
+
+
+def test_respaced_sampling(setup):
+    """Params are T-independent (the denoiser conditions on t/T and gamma is
+    a config-built table — diffusion/schedules.py), so a model trained at one
+    T can be sampled on a coarser grid: the ancestral subsequence respacing
+    behind the CLIs' --steps flag (scripts/bench_respacing.py measures the
+    quality/steps trade; the reference always pays the full T=500,
+    src/edm.py:146-163)."""
+    cfg, params, edm, batch = setup
+    import dataclasses
+    cfg5 = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, timesteps=5))
+    sampler = LinkerSampler(cfg5, params)  # same params, T=10 -> 5
+    out = sampler.sample(batch, jax.random.PRNGKey(2), size_spec=6)
+    assert not out['nan_flag'].any()
+    assert np.isfinite(out['positions']).all()
+    # fragments frozen, one-hot decode intact under the coarser grid
+    fm = out['fragment_mask'][..., 0].astype(bool)
+    np.testing.assert_array_equal(
+        out['one_hot'][fm],
+        batch['one_hot'][batch['fragment_mask'][..., 0].astype(bool)])
+    assert set(np.unique(out['one_hot'].sum(-1))) <= {0.0, 1.0}
+    # respacing changes the trajectory, not the contract
+    full = LinkerSampler(cfg, params).sample(
+        batch, jax.random.PRNGKey(2), size_spec=6)
+    assert (out['node_mask'] == full['node_mask']).all()
