@@ -135,6 +135,16 @@ def main():
     p_lps, p_dt = _chain_throughput(pedm, pparams, p_inputs, Bp, runs=2)
     p_fl = flops_lib.chain_flops(Bp, Np, T, pcfg)
 
+    # -- respaced line: same ZINC model sampled at T=50 ----------------------
+    # Ancestral subsequence respacing (--steps). Quality is measured flat
+    # down to T=50 on a trained model (BASELINE.md "Respaced sampling",
+    # scripts/bench_respacing.py): 91.8%/67.2% valid/V+C vs 92.6%/69.9% at
+    # T=500. Cost is exactly O(T), so this is the effective per-chip
+    # throughput a user gets by passing --steps 50.
+    edm50 = make_edm(zcfg, DiffusionConfig(timesteps=50))
+    r_lps, r_dt = _chain_throughput(edm50, params, _zinc_inputs(B, N), B)
+    r_fl = flops_lib.chain_flops(B, N, 50, zcfg)
+
     print(json.dumps({
         'metric': f'linker sampling throughput (T={T}, B={B}, N={N}, '
                   f'ZINC 8x128 EGNN bf16, {kind})',
@@ -153,6 +163,14 @@ def main():
             'impl': p_impl,
             'tflops': round(p_fl / p_dt / 1e12, 2),
             'mfu': round(p_fl / p_dt / peak16, 4) if peak16 else None,
+        },
+        'respaced_T50': {
+            'metric': f'same model, --steps 50 (quality flat to T=50, '
+                      'BASELINE.md respacing study)',
+            'value': round(r_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'vs_baseline': round(r_lps / REFERENCE_LINKERS_PER_SEC, 1),
+            'mfu': round(r_fl / r_dt / peak16, 4) if peak16 else None,
         },
     }))
     return 0
