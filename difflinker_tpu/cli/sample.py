@@ -115,7 +115,9 @@ def main(argv=None):
     else:
         ds = LinkerDataset.from_pt(args.data, args.prefix)
 
-    sampler = LinkerSampler(cfg, params)
+    # wrap-pad ragged tail batches to --batch-size: every bucket then reuses
+    # one compiled chain shape instead of compiling per tail size
+    sampler = LinkerSampler(cfg, params, pad_batch_to=args.batch_size)
     size_spec = (load_size_spec(args.linker_size_model)
                  if args.linker_size_model
                  else parse_size_spec(args.linker_size))

@@ -189,7 +189,8 @@ def main(argv=None):
                    f'loss/val={val_loss} ({dt:.1f}s)')
 
         if not args.no_sampling_eval and (epoch + 1) % eval_every == 0:
-            sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+            sampler = LinkerSampler(cfg, state['params'], trainer.edm,
+                                    pad_batch_to=cfg.train.batch_size)
             sampling = sample_and_analyze(
                 sampler, val_ds.iter_batches(cfg.train.batch_size), ksample,
                 n_samples=cfg.train.n_stability_samples,

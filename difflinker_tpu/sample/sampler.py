@@ -54,7 +54,8 @@ class LinkerSampler:
     sweeps; params replicated)."""
 
     def __init__(self, cfg: ExperimentConfig, params, edm=None,
-                 max_retries: int = 5, mesh=None):
+                 max_retries: int = 5, mesh=None,
+                 pad_batch_to: Optional[int] = None):
         self.cfg = cfg
         self.edm = edm or make_edm(cfg.model, cfg.diffusion)
         self.mesh = mesh
@@ -63,6 +64,12 @@ class LinkerSampler:
             params = mesh_lib.replicate_params(mesh, params)
         self.params = params
         self.max_retries = max_retries
+        # pad_batch_to: wrap-pad smaller batches up to this size so ragged
+        # tail batches reuse the full batch's compiled chain instead of
+        # triggering a fresh (B, N)-shape compile (~tens of seconds each on
+        # TPU; measured dominant in eval sweeps — samples are per-row
+        # independent, so padded rows are computed and discarded).
+        self.pad_batch_to = pad_batch_to
         self._compiled = {}
 
     # -- jit cache -------------------------------------------------------------
@@ -109,6 +116,16 @@ class LinkerSampler:
         else:
             template = create_templates_for_linker_generation(batch, sizes)
 
+        n_real = int(np.asarray(template['positions']).shape[0])
+        if self.pad_batch_to is not None and n_real < self.pad_batch_to:
+            idx = np.resize(np.arange(n_real), self.pad_batch_to)
+            template = {
+                k: (v[idx] if isinstance(v, np.ndarray)
+                    and v.ndim > 0 and v.shape[0] == n_real
+                    else [v[j] for j in idx] if isinstance(v, (list, tuple))
+                    and len(v) == n_real else v)
+                for k, v in template.items()}
+
         x = jnp.asarray(template['positions'])
         h = jnp.asarray(template['one_hot'])
         node_mask = jnp.asarray(template['atom_mask'])
@@ -142,7 +159,8 @@ class LinkerSampler:
                 xs, hs, nan = res
             else:
                 xs, hs, nan, ch = res
-            nan = np.asarray(nan)
+            nan = np.array(nan)
+            nan[n_real:] = False  # padded duplicate rows never force a retry
             xs, hs = np.asarray(xs), np.asarray(hs)
             if out_x is None:
                 # copies: jax->numpy views are read-only, retries write in place
@@ -167,21 +185,21 @@ class LinkerSampler:
             out_x = out_x + np.asarray(com) * np.asarray(node_mask)
 
         result = {
-            'positions': out_x, 'one_hot': out_h,
-            'node_mask': np.asarray(node_mask),
-            'linker_mask': np.asarray(linker_mask),
-            'fragment_mask': np.asarray(fragment_mask),
-            'nan_flag': pending, 'num_retries': n_retries,
+            'positions': out_x[:n_real], 'one_hot': out_h[:n_real],
+            'node_mask': np.asarray(node_mask)[:n_real],
+            'linker_mask': np.asarray(linker_mask)[:n_real],
+            'fragment_mask': np.asarray(fragment_mask)[:n_real],
+            'nan_flag': pending[:n_real], 'num_retries': n_retries,
             'linker_sizes': sizes,
         }
         if 'pocket_mask' in template:
-            result['pocket_mask'] = np.asarray(template['pocket_mask'])
+            result['pocket_mask'] = np.asarray(template['pocket_mask'])[:n_real]
         if 'uuid' in template:
-            result['uuid'] = template['uuid']
+            result['uuid'] = list(template['uuid'])[:n_real]
         if 'name' in template:
-            result['name'] = template['name']
+            result['name'] = list(template['name'])[:n_real]
         if keep_frames is not None:
-            result['chain'] = chain
+            result['chain'] = chain[:, :n_real]
         return result
 
     def sample_n(self, batch: Dict, key, n_samples: int, **kw):

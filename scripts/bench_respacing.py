@@ -38,9 +38,10 @@ def main():
     args = p.parse_args()
 
     import jax
-    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
-                                       ExperimentConfig, ModelConfig,
-                                       TrainConfig)
+    from difflinker_tpu.config import (CenterOfMass, DataConfig,
+                                       DatasetFamily, DiffusionConfig,
+                                       ExperimentConfig, GraphType,
+                                       ModelConfig, PocketMode, TrainConfig)
     from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
     from difflinker_tpu.diffusion.edm import make_edm
     from difflinker_tpu.io.checkpoints import load_params_npz
@@ -49,27 +50,35 @@ def main():
 
     with open(args.params + '.config.json') as f:
         mc = json.load(f)
+    pocket = mc.get('pocket', False)
 
     def make_cfg(T):
         return ExperimentConfig(
             exp_name='respacing_study',
-            model=ModelConfig(in_node_nf=8, context_node_nf=2,
-                              hidden_nf=mc['hidden'], n_layers=mc['layers'],
-                              norm_constant=1e-6),
+            model=ModelConfig(
+                in_node_nf=8, context_node_nf=3 if pocket else 2,
+                hidden_nf=mc['hidden'], n_layers=mc['layers'],
+                norm_constant=1e-6,
+                graph_type=GraphType.A4 if pocket else GraphType.FC),
             diffusion=DiffusionConfig(timesteps=T),
-            data=DataConfig(),
-            train=TrainConfig(n_stability_samples=1))
+            data=DataConfig(family=DatasetFamily.MOAD,
+                            pocket_mode=PocketMode.FULL)
+            if pocket else DataConfig(),
+            train=TrainConfig(
+                n_stability_samples=1,
+                center_of_mass=CenterOfMass(mc.get('com', 'fragments'))))
 
     cfg0 = make_cfg(mc['timesteps'])
     params_like = make_edm(cfg0.model, cfg0.diffusion).init_params(
         jax.random.PRNGKey(0))
     params = load_params_npz(args.params, params_like)
-    val_ds = synthetic_molecule_dataset(args.val_size, seed=1)
+    val_ds = synthetic_molecule_dataset(
+        args.val_size, seed=1, **({'pocket_range': (8, 16)} if pocket else {}))
 
     rows = []
     for T in [int(s) for s in args.steps.split(',')]:
         cfg = make_cfg(T)
-        sampler = LinkerSampler(cfg, params)
+        sampler = LinkerSampler(cfg, params, pad_batch_to=64)
         # warm-up to exclude compile time from the throughput number
         batches = list(val_ds.iter_batches(64))
         sampler.sample(batches[0], jax.random.PRNGKey(99))

@@ -27,6 +27,10 @@ def main():
                         '(configs/pockets_difflinker_full.yml) uses anchors')
     p.add_argument('--n-eval-samples', type=int, default=1)
     p.add_argument('--out', type=str, default=None)
+    p.add_argument('--timesteps', type=int, default=100,
+                   help='diffusion T (reference trains at 500)')
+    p.add_argument('--save-params', type=str, default=None,
+                   help='save final params as .npz for bench_respacing.py')
     args = p.parse_args()
 
     import jax
@@ -46,7 +50,7 @@ def main():
                           hidden_nf=args.hidden,
                           n_layers=args.layers, norm_constant=1e-6,
                           graph_type=GraphType.A4),
-        diffusion=DiffusionConfig(timesteps=100),
+        diffusion=DiffusionConfig(timesteps=args.timesteps),
         data=DataConfig(family=DatasetFamily.MOAD, pocket_mode=PocketMode.FULL),
         train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
                           n_stability_samples=1,
@@ -91,6 +95,14 @@ def main():
         if (epoch + 1) % args.eval_every == 0:
             print(f'epoch {epoch + 1}: loss={m["loss"]:.4f}', flush=True)
             evaluate(epoch + 1, state)
+    if args.save_params:
+        from difflinker_tpu.io.checkpoints import save_params_npz
+        save_params_npz(state['params'], args.save_params)
+        with open(args.save_params + '.config.json', 'w') as f:
+            json.dump({'hidden': args.hidden, 'layers': args.layers,
+                       'timesteps': args.timesteps, 'pocket': True,
+                       'com': args.com}, f)
+        print(f'saved params to {args.save_params}', flush=True)
     first, last = results[0], results[-1]
     print(f'pocket model: validity {first["validity"]:.2%} -> '
           f'{last["validity"]:.2%}; v+c {first["validity_and_connectivity"]:.2%}'

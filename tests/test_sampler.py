@@ -189,3 +189,29 @@ def test_respaced_sampling(setup):
     full = LinkerSampler(cfg, params).sample(
         batch, jax.random.PRNGKey(2), size_spec=6)
     assert (out['node_mask'] == full['node_mask']).all()
+
+
+def test_pad_batch_to_reuses_compiled_shape(setup):
+    """Ragged tail batches wrap-pad up to pad_batch_to, so a smaller batch
+    reuses the full batch's compiled chain (one (B, N) shape per bucket)
+    and outputs slice back to the real rows."""
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm, pad_batch_to=4)
+    full = sampler.sample(batch, jax.random.PRNGKey(3), size_spec=5)
+    tail = {k: (v[:3] if isinstance(v, np.ndarray) else v)
+            for k, v in batch.items()}
+    out = sampler.sample(tail, jax.random.PRNGKey(4), size_spec=5)
+    # one compiled program serves both batch sizes
+    assert len(sampler._compiled) == 1
+    # outputs are sliced to the real batch
+    assert out['positions'].shape[0] == 3
+    assert out['node_mask'].shape[0] == 3
+    assert out['nan_flag'].shape == (3,)
+    assert len(out['linker_sizes']) == 3
+    assert not out['nan_flag'].any()
+    # contract invariants survive padding
+    fm = out['fragment_mask'][..., 0].astype(bool)
+    np.testing.assert_array_equal(
+        out['one_hot'][fm],
+        tail['one_hot'][tail['fragment_mask'][:, :, 0].astype(bool)])
+    assert full['positions'].shape[0] == batch['positions'].shape[0]
