@@ -21,7 +21,6 @@ from difflinker_tpu.data.datasets import LinkerDataset, synthetic_dataset
 from difflinker_tpu.io import checkpoints as ckpt_lib
 from difflinker_tpu.io.xyz import save_xyz_file
 from difflinker_tpu.sample.sampler import LinkerSampler
-from difflinker_tpu.train.trainer import Trainer
 
 
 def build_argparser():
@@ -77,9 +76,11 @@ def load_model(args):
         cfg, params = load_ddpm_checkpoint(args.ckpt)
         return cfg, params
     cfg = ckpt_lib.load_config(args.run)
-    trainer = Trainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state = ckpt_lib.CheckpointManager(args.run).restore(state)
+    state = ckpt_lib.CheckpointManager(args.run).restore_raw()
+    if 'ema_params' in state:
+        # runs trained with --ema: the EMA weights are the release weights
+        common.log('using EMA params from checkpoint')
+        return cfg, state['ema_params']
     return cfg, state['params']
 
 

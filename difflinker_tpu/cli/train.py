@@ -189,7 +189,11 @@ def main(argv=None):
                    f'loss/val={val_loss} ({dt:.1f}s)')
 
         if not args.no_sampling_eval and (epoch + 1) % eval_every == 0:
-            sampler = LinkerSampler(cfg, state['params'], trainer.edm,
+            # with --ema, sampling quality is evaluated on the EMA weights —
+            # they are the weights an inference loader will pick up
+            sampler = LinkerSampler(cfg,
+                                    state.get('ema_params', state['params']),
+                                    trainer.edm,
                                     pad_batch_to=cfg.train.batch_size)
             sampling = sample_and_analyze(
                 sampler, val_ds.iter_batches(cfg.train.batch_size), ksample,

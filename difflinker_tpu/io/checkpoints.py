@@ -90,6 +90,17 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_like))
 
+    def restore_raw(self, step: Optional[int] = None) -> Dict:
+        """Restore whatever the checkpoint holds, template-free (host numpy).
+
+        Inference loaders use this: a run trained with --ema carries an
+        `ema_params` tree the training-template restore would need to know
+        about in advance; raw restore lets callers prefer it when present."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints under {self.run_dir}')
+        return self._mgr.restore(step)
+
     def close(self):
         self._mgr.close()
 

@@ -124,3 +124,39 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
 
     monkeypatch.setenv('DIFFLINKER_COMPILE_CACHE', 'off')
     assert common.enable_compilation_cache() is None
+
+
+def test_load_model_prefers_ema_params(tmp_path):
+    """A run trained with --ema serves its EMA weights to the sampling CLIs
+    (the EMA tree is otherwise write-only state)."""
+    import argparse
+    import jax
+    import jax.numpy as jnp
+    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                       ExperimentConfig, ModelConfig,
+                                       TrainConfig)
+    from difflinker_tpu.io import checkpoints as ckpt_lib
+    from difflinker_tpu.train.trainer import Trainer
+    from difflinker_tpu.cli.sample import load_model
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=8,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=4),
+        data=DataConfig(), train=TrainConfig(batch_size=2))
+    trainer = Trainer(cfg, ema_beta=0.9)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    # make EMA distinguishable from the live params
+    state['ema_params'] = jax.tree.map(lambda a: a + 1.0, state['params'])
+    run = str(tmp_path / 'run')
+    ckpt_lib.save_config(cfg, run)
+    mgr = ckpt_lib.CheckpointManager(run)
+    mgr.save(1, state)
+    mgr.close()
+
+    _, params = load_model(argparse.Namespace(ckpt=None, run=run))
+    ref = jax.tree.leaves(state['ema_params'])
+    got = jax.tree.leaves(params)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
