@@ -55,8 +55,10 @@ def enable_compilation_cache(cache_dir: str = None):
     path. No-op if the backend or jax version rejects the cache.
     """
     env = os.environ.get('DIFFLINKER_COMPILE_CACHE', '')
-    if env.lower() in ('off', '0', 'none', 'disable'):
+    if env.lower() in ('off', '0', 'none', 'disable', 'false'):
         return None
+    if env.lower() in ('on', '1', 'true', 'yes'):
+        env = ''  # enable with the default path, not a dir literally named '1'
     cache_dir = env or cache_dir or os.path.join(
         os.path.expanduser('~'), '.cache', 'difflinker_tpu', 'xla')
     try:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import sys
 
+from difflinker_tpu.cli import common
 from difflinker_tpu.cli.generate_with_protein import build_argparser, run
 
 

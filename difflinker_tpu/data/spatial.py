@@ -43,8 +43,11 @@ def morton_codes(x: np.ndarray, bits: int = 10) -> np.ndarray:
 def sort_pocket_rows(sample: Dict) -> Dict:
     """Return a copy of a per-molecule sample dict with its pocket rows
     reordered along the Morton curve (all other rows untouched)."""
-    pocket = np.asarray(sample.get('pocket_mask'))
-    if pocket is None or pocket.sum() == 0:
+    pocket = sample.get('pocket_mask')
+    if pocket is None:
+        return sample
+    pocket = np.asarray(pocket)
+    if pocket.sum() == 0:
         return sample
     pocket = pocket.reshape(-1) > 0
     pos = np.asarray(sample['positions'])

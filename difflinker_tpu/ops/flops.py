@@ -75,6 +75,10 @@ def egnn_forward_flops(B: int, N: int, cfg: ModelConfig) -> float:
     in_nf = cfg.dynamics_in_nf
     k = (min(cfg.neighbor_k, N)
          if cfg.neighbor_k and cfg.graph_type != GraphType.FC else None)
+    if (k is None and cfg.tile_size and cfg.tile_neighbors
+            and cfg.graph_type != GraphType.FC):
+        # tile-pair layout: each row does M*T edge columns, not N
+        k = min(cfg.tile_neighbors * cfg.tile_size, N)
     fl = 2 * B * N * in_nf * H              # embedding
     per_block = (cfg.inv_sublayers
                  * gcl_flops(B, N, H, E, attention=cfg.attention, k=k)

@@ -53,6 +53,22 @@ def com_mask_for(batch: Dict, *, center_of_mass: CenterOfMass,
     raise NotImplementedError(center_of_mass)
 
 
+def wrap_pad(arrays: Dict, n_dev: int, *, axis: int = 0) -> (Dict, int):
+    """Wrap-pad the batch axis of every array to a multiple of n_dev with
+    duplicate samples (so ragged batches shard instead of being dropped;
+    duplicates mildly over-weight a few samples — shuffling rotates which).
+    Returns (padded arrays, number of padded rows; 0 = untouched)."""
+    bs = next(iter(arrays.values())).shape[axis]
+    if bs % n_dev == 0:
+        return arrays, 0
+    pad = n_dev - bs % n_dev
+    pad_rows = np.arange(pad) % bs
+    out = {k: np.concatenate(
+        [np.asarray(v), np.take(np.asarray(v), pad_rows, axis=axis)],
+        axis=axis) for k, v in arrays.items()}
+    return out, pad
+
+
 class Trainer:
     """Builds the EDM + optimizer from an ExperimentConfig and exposes pure
     jitted train/eval steps. State is a plain pytree dict
@@ -210,17 +226,10 @@ class Trainer:
                 batch_size, shuffle=shuffle, seed=seed).items():
             n_steps, bsz = stacked['positions'].shape[:2]
             dropped += packed.packs[bucket]['positions'].shape[0] - n_steps * bsz
-            if bsz % n_dev:
-                # A bucket smaller than the mesh (or not a device multiple):
-                # wrap-pad the batch axis with duplicate samples so the whole
-                # bucket trains instead of silently vanishing. The duplicates
-                # mildly over-weight a few samples for this epoch; shuffling
-                # rotates which ones.
-                pad = n_dev - bsz % n_dev
-                pad_rows = np.arange(pad) % bsz
-                stacked = {k: np.concatenate([v, v[:, pad_rows]], axis=1)
-                           for k, v in stacked.items()}
-                duplicated += pad * n_steps
+            # A bucket smaller than the mesh (or not a device multiple):
+            # wrap-pad so the whole bucket trains instead of vanishing.
+            stacked, pad = wrap_pad(stacked, n_dev, axis=1)
+            duplicated += pad * n_steps
             key, sub = jax.random.split(key)
             js = {k: jnp.asarray(v) for k, v in stacked.items()
                   if k in self.BATCH_KEYS}
@@ -314,16 +323,12 @@ class Trainer:
             # ragged batches can't shard evenly — wrap-pad to a device
             # multiple with duplicate samples so no sample is dropped
             n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
-            bs = next(iter(sub.values())).shape[0]
-            if bs % n_dev:
-                pad = n_dev - bs % n_dev
-                pad_rows = np.arange(pad) % bs
-                sub = {k: np.concatenate([np.asarray(v), np.asarray(v)[pad_rows]])
-                       for k, v in sub.items()}
-                if not getattr(self, '_warned_pad', False):
-                    print(f'[trainer] wrap-padding ragged batch {bs} -> '
-                          f'{bs + pad} to fit the {n_dev}-device mesh '
-                          f'(logged once)')
-                    self._warned_pad = True
+            sub, pad = wrap_pad(sub, n_dev)
+            if pad and not getattr(self, '_warned_pad', False):
+                bs = next(iter(sub.values())).shape[0] - pad
+                print(f'[trainer] wrap-padding ragged batch {bs} -> '
+                      f'{bs + pad} to fit the {n_dev}-device mesh '
+                      f'(logged once)')
+                self._warned_pad = True
             return mesh_lib.shard_batch(self.mesh, sub)
         return {k: jnp.asarray(v) for k, v in sub.items()}

@@ -79,10 +79,6 @@ def main():
                                            coupled_linker_size=True)
     val_ds = synthetic_molecule_dataset(args.val_size, seed=1,
                                         coupled_linker_size=True)
-    true_sizes = np.asarray(
-        [int(np.asarray(s['linker_mask']).sum()) for s in val_ds.samples],
-        np.int32)
-
     # ---- 1. size predictor ------------------------------------------------
     predictor = SizePredictor(
         in_node_nf=constants.NUMBER_OF_ATOM_TYPES,
@@ -120,13 +116,17 @@ def main():
             print(f'size epoch {epoch + 1}: loss={np.mean(losses):.4f}',
                   flush=True)
 
-    # val accuracy vs baselines
-    preds = []
+    # val accuracy vs baselines — true sizes collected from the SAME batch
+    # stream as the predictions (iter_batches groups by size bucket, so
+    # dataset-order labels would be misaligned)
+    preds, trues = [], []
     for batch in val_ds.iter_batches(args.batch_size,
                                      fragment_edges_only=True):
         preds.append(predictor.predict_sizes(sparams, device_batch(batch),
                                              bn_state))
+        trues.append(np.asarray(batch['linker_mask'])[..., 0].sum(-1))
     preds = np.concatenate(preds)
+    true_sizes = np.concatenate(trues).astype(np.int32)
     prior_sizes = np.asarray(
         DistributionNodes().sample(jax.random.PRNGKey(3), len(true_sizes)))
     majority = np.bincount(true_sizes).argmax()

@@ -125,6 +125,11 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     monkeypatch.setenv('DIFFLINKER_COMPILE_CACHE', 'off')
     assert common.enable_compilation_cache() is None
 
+    # '1'/'on' mean enable-with-default-path, not a dir literally named '1'
+    monkeypatch.setenv('DIFFLINKER_COMPILE_CACHE', '1')
+    got = common.enable_compilation_cache(cache_dir=str(tmp_path / 'dflt'))
+    assert got == str(tmp_path / 'dflt')
+
 
 def test_load_model_prefers_ema_params(tmp_path):
     """A run trained with --ema serves its EMA weights to the sampling CLIs
@@ -160,3 +165,16 @@ def test_load_model_prefers_ema_params(tmp_path):
     assert len(ref) == len(got)
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_generate_with_pocket_main_reaches_run(tmp_path, monkeypatch):
+    """main() executes past arg parsing (regression: a missing `common`
+    import made every real invocation NameError before reaching run())."""
+    import difflinker_tpu.cli.generate_with_pocket as gwp
+    called = {}
+    monkeypatch.setattr(gwp, 'run',
+                        lambda args, pocket_is_precut: called.update(
+                            pocket=pocket_is_precut) or 0)
+    rc = gwp.main(['--fragments', 'f.sdf', '--pocket', 'p.pdb',
+                   '--run', str(tmp_path), '--anchors', '1,2'])
+    assert rc == 0 and called == {'pocket': True}

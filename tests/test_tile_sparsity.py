@@ -241,3 +241,13 @@ def test_dataset_spatially_sorted():
                                       np.asarray(a['positions'])[~pk])
     batch = collate(srt.samples)
     assert batch['positions'].ndim == 3
+
+
+def test_spatially_sorted_noop_without_pockets():
+    """Pocket-free datasets pass through unchanged (regression: samples with
+    no 'pocket_mask' key used to crash sort_pocket_rows on np.asarray(None))."""
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    ds = synthetic_molecule_dataset(4, seed=0)
+    srt = ds.spatially_sorted()
+    for a, b in zip(ds.samples, srt.samples):
+        np.testing.assert_array_equal(a['positions'], b['positions'])
