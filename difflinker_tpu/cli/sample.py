@@ -41,6 +41,10 @@ def build_argparser():
                         '(reference sample.py:66-81)')
     p.add_argument('--out', type=str, default='samples')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--pad-nodes', type=int, default=None,
+                   help='pad every template to this node count so one '
+                        'compiled chain serves all batches (each extra '
+                        'shape costs a compile + device program load)')
     return p
 
 
@@ -118,7 +122,8 @@ def main(argv=None):
 
     # wrap-pad ragged tail batches to --batch-size: every bucket then reuses
     # one compiled chain shape instead of compiling per tail size
-    sampler = LinkerSampler(cfg, params, pad_batch_to=args.batch_size)
+    sampler = LinkerSampler(cfg, params, pad_batch_to=args.batch_size,
+                            pad_nodes_to=args.pad_nodes)
     size_spec = (load_size_spec(args.linker_size_model)
                  if args.linker_size_model
                  else parse_size_spec(args.linker_size))

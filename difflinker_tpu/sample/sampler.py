@@ -55,7 +55,8 @@ class LinkerSampler:
 
     def __init__(self, cfg: ExperimentConfig, params, edm=None,
                  max_retries: int = 5, mesh=None,
-                 pad_batch_to: Optional[int] = None):
+                 pad_batch_to: Optional[int] = None,
+                 pad_nodes_to: Optional[int] = None):
         self.cfg = cfg
         self.edm = edm or make_edm(cfg.model, cfg.diffusion)
         self.mesh = mesh
@@ -70,6 +71,13 @@ class LinkerSampler:
         # TPU; measured dominant in eval sweeps — samples are per-row
         # independent, so padded rows are computed and discarded).
         self.pad_batch_to = pad_batch_to
+        # pad_nodes_to: pad every template to this node count (instead of the
+        # per-batch size bucket) so ONE chain program serves every batch.
+        # Worth it whenever program compile/load dominates — each extra
+        # (B, N) shape costs a full XLA compile, and on tunneled backends a
+        # multi-minute device program load. Batches whose samples need more
+        # rows fall back to their natural bucket.
+        self.pad_nodes_to = pad_nodes_to
         self._compiled = {}
 
     # -- jit cache -------------------------------------------------------------
@@ -114,7 +122,14 @@ class LinkerSampler:
         if self.cfg.diffusion.inpainting:
             template = batch  # inpainting keeps the original layout
         else:
-            template = create_templates_for_linker_generation(batch, sizes)
+            n_nodes = None
+            if self.pad_nodes_to is not None:
+                needed = (np.asarray(batch['fragment_mask'])[..., 0]
+                          .sum(-1).astype(np.int64) + sizes)
+                if needed.max() <= self.pad_nodes_to:
+                    n_nodes = self.pad_nodes_to
+            template = create_templates_for_linker_generation(
+                batch, sizes, n_nodes=n_nodes)
 
         n_real = int(np.asarray(template['positions']).shape[0])
         if self.pad_batch_to is not None and n_real < self.pad_batch_to:

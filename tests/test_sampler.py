@@ -215,3 +215,19 @@ def test_pad_batch_to_reuses_compiled_shape(setup):
         out['one_hot'][fm],
         tail['one_hot'][tail['fragment_mask'][:, :, 0].astype(bool)])
     assert full['positions'].shape[0] == batch['positions'].shape[0]
+
+
+def test_pad_nodes_to_single_shape(setup):
+    """pad_nodes_to collapses every batch to one (B, N) chain shape (and
+    falls back to the natural bucket when a sample needs more rows)."""
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm, pad_batch_to=4, pad_nodes_to=32)
+    out8 = sampler.sample(batch, jax.random.PRNGKey(5), size_spec=4)
+    out5 = sampler.sample(batch, jax.random.PRNGKey(6), size_spec=8)
+    assert len(sampler._compiled) == 1  # both size specs share one shape
+    for out in (out8, out5):
+        assert not out['nan_flag'].any()
+        assert out['positions'].shape[1] == 32
+    # over-large request falls back to the bucket above pad_nodes_to
+    big = sampler.sample(batch, jax.random.PRNGKey(7), size_spec=30)
+    assert big['positions'].shape[1] > 32
