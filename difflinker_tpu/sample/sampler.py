@@ -132,8 +132,14 @@ class LinkerSampler:
                 batch, sizes, n_nodes=n_nodes)
 
         n_real = int(np.asarray(template['positions']).shape[0])
-        if self.pad_batch_to is not None and n_real < self.pad_batch_to:
-            idx = np.resize(np.arange(n_real), self.pad_batch_to)
+        pad_to = self.pad_batch_to
+        if self.mesh is not None:
+            # a sharded batch axis must divide the mesh — round the pad
+            # target (or the batch itself) up to a device multiple
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            pad_to = -(-max(pad_to or 0, n_real) // n_dev) * n_dev
+        if pad_to is not None and n_real < pad_to:
+            idx = np.resize(np.arange(n_real), pad_to)
             template = {
                 k: (v[idx] if isinstance(v, np.ndarray)
                     and v.ndim > 0 and v.shape[0] == n_real

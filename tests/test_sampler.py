@@ -231,3 +231,17 @@ def test_pad_nodes_to_single_shape(setup):
     # over-large request falls back to the bucket above pad_nodes_to
     big = sampler.sample(batch, jax.random.PRNGKey(7), size_spec=30)
     assert big['positions'].shape[1] > 32
+
+
+def test_mesh_sampling_ragged_batch_autopads(setup):
+    """A batch not divisible by the mesh wrap-pads to a device multiple
+    automatically (the sharded batch axis must divide the mesh), and outputs
+    slice back to the real rows."""
+    from difflinker_tpu.parallel import mesh as mesh_lib
+    cfg, params, edm, batch = setup
+    mesh = mesh_lib.make_mesh(8)
+    sharded = LinkerSampler(cfg, params, edm, mesh=mesh)
+    out = sharded.sample(batch, jax.random.PRNGKey(12), size_spec=5)  # B=4
+    assert out['positions'].shape[0] == 4
+    assert not out['nan_flag'].any()
+    assert np.isfinite(out['positions']).all()
