@@ -73,12 +73,15 @@ def egnn_forward_flops(B: int, N: int, cfg: ModelConfig) -> float:
     H = cfg.hidden_nf
     E = 24 * 2 if cfg.sin_embedding else 2  # [feat, dist0] concat width
     in_nf = cfg.dynamics_in_nf
-    k = (min(cfg.neighbor_k, N)
-         if cfg.neighbor_k and cfg.graph_type != GraphType.FC else None)
-    if (k is None and cfg.tile_size and cfg.tile_neighbors
+    # layout precedence mirrors models/dynamics.py: tile-pair first, then
+    # K-neighbor, else dense
+    k = None
+    if (cfg.tile_size and cfg.tile_neighbors
             and cfg.graph_type != GraphType.FC):
         # tile-pair layout: each row does M*T edge columns, not N
         k = min(cfg.tile_neighbors * cfg.tile_size, N)
+    elif cfg.neighbor_k and cfg.graph_type != GraphType.FC:
+        k = min(cfg.neighbor_k, N)
     fl = 2 * B * N * in_nf * H              # embedding
     per_block = (cfg.inv_sublayers
                  * gcl_flops(B, N, H, E, attention=cfg.attention, k=k)

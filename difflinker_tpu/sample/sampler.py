@@ -134,9 +134,10 @@ class LinkerSampler:
         n_real = int(np.asarray(template['positions']).shape[0])
         pad_to = self.pad_batch_to
         if self.mesh is not None:
-            # a sharded batch axis must divide the mesh — round the pad
+            # a sharded batch axis must divide the data axis — round the pad
             # target (or the batch itself) up to a device multiple
-            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            from difflinker_tpu.parallel import mesh as mesh_lib
+            n_dev = int(self.mesh.shape[mesh_lib.DATA_AXIS])
             pad_to = -(-max(pad_to or 0, n_real) // n_dev) * n_dev
         if pad_to is not None and n_real < pad_to:
             idx = np.resize(np.arange(n_real), pad_to)

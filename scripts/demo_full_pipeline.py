@@ -104,6 +104,7 @@ def main():
     timings['setup_s'] = round(time.time() - t0, 1)
 
     t = time.time()
+    t_sample0 = t
     samples = os.path.join(work, 'samples')
     argv = ['--run', run_dir, '--data', data_dir,
             '--prefix', 'showcase_test',
@@ -114,7 +115,8 @@ def main():
         argv += ['--pad-nodes', str(args.pad_nodes)]
     rc = sample_cli.main(argv)
     assert rc == 0, 'cli.sample failed'
-    timings['sample_s'] = round(time.time() - t, 1)
+    sample_dt = time.time() - t_sample0
+    timings['sample_s'] = round(sample_dt, 1)
 
     t = time.time()
     rc = run_obabel_cli.main(['--samples', samples])
@@ -122,18 +124,20 @@ def main():
     timings['obabel_s'] = round(time.time() - t, 1)
 
     t = time.time()
-    # ground-truth table: identity keys per uuid ("frag true" per line) —
-    # without RDKit the native WL-hash identities stand in for SMILES
+    # ground-truth table, one "molecule fragments" row per uuid (the
+    # reformat contract, reformat_data_obabel.py:115) — without RDKit the
+    # native WL-hash identities stand in for SMILES
     from difflinker_tpu.chem.molgraph import build_molecules
     from difflinker_tpu.chem import metrics as chem_metrics
-    rows = []
+    rows, gt = [], {}
     for s in val.samples:
         frag = build_molecules(s['one_hot'][None], s['positions'][None],
                                s['fragment_mask'][None, :, None])[0]
         true = build_molecules(s['one_hot'][None], s['positions'][None],
                                np.ones((1, len(s['positions']), 1)))[0]
-        rows.append(f'{chem_metrics.canonical_key(frag)} '
-                    f'{chem_metrics.canonical_key(true)}')
+        gt[str(s['uuid'])] = (true, frag)
+        rows.append(f'{chem_metrics.canonical_key(true)} '
+                    f'{chem_metrics.canonical_key(frag)}')
     table = os.path.join(work, 'true.smi')
     with open(table, 'w') as f:
         f.write('\n'.join(rows) + '\n')
@@ -144,15 +148,13 @@ def main():
     timings['reformat_s'] = round(time.time() - t, 1)
 
     t = time.time()
-    # metric aggregate over the sampled molecules vs ground truth
+    # metric aggregate over the sampled molecules vs ground truth (the
+    # (true, frag) MolGraphs were already built for the table stage)
     from difflinker_tpu.chem import delinker
     pred_mols, true_mols, frag_mols = [], [], []
     for s in val.samples:
         u = str(s['uuid'])
-        true = build_molecules(s['one_hot'][None], s['positions'][None],
-                               np.ones((1, len(s['positions']), 1)))[0]
-        frag = build_molecules(s['one_hot'][None], s['positions'][None],
-                               s['fragment_mask'][None, :, None])[0]
+        true, frag = gt[u]
         for i in range(args.n_samples):
             xyz = os.path.join(samples, u, f'{i}_.xyz')
             from difflinker_tpu.io.xyz import load_molecule_xyz
@@ -171,7 +173,7 @@ def main():
         'steps': args.steps, 'linkers': args.inputs * args.n_samples,
         'timings': timings,
         'sample_linkers_per_s': round(
-            args.inputs * args.n_samples / timings['sample_s'], 2),
+            args.inputs * args.n_samples / max(sample_dt, 1e-9), 2),
         'metrics': {k: round(float(v), 4) for k, v in
                     {**agg, **dl}.items()},
     }
