@@ -158,6 +158,7 @@ def main(argv=None):
     if start_epoch and os.path.exists(history_path):
         with open(history_path) as f:
             history = json.load(f)  # keep pre-resume series
+    eval_sampler = None
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         key, ktrain, keval, ksample = jax.random.split(key, 4)
@@ -189,12 +190,15 @@ def main(argv=None):
                    f'loss/val={val_loss} ({dt:.1f}s)')
 
         if not args.no_sampling_eval and (epoch + 1) % eval_every == 0:
-            # with --ema, sampling quality is evaluated on the EMA weights —
-            # they are the weights an inference loader will pick up
-            sampler = LinkerSampler(cfg,
-                                    state.get('ema_params', state['params']),
-                                    trainer.edm,
-                                    pad_batch_to=cfg.train.batch_size)
+            # one sampler for the whole run (compiled chains persist across
+            # evals; weights are swapped as jit arguments). With --ema the
+            # EMA weights are evaluated — they are what inference loads.
+            if eval_sampler is None:
+                eval_sampler = LinkerSampler(
+                    cfg, state['params'], trainer.edm,
+                    pad_batch_to=cfg.train.batch_size)
+            sampler = eval_sampler.update_params(
+                state.get('ema_params', state['params']))
             sampling = sample_and_analyze(
                 sampler, val_ds.iter_batches(cfg.train.batch_size), ksample,
                 n_samples=cfg.train.n_stability_samples,

@@ -80,6 +80,17 @@ class LinkerSampler:
         self.pad_nodes_to = pad_nodes_to
         self._compiled = {}
 
+    def update_params(self, params):
+        """Swap the weights without losing compiled chains — params are jit
+        ARGUMENTS, so one compiled program serves any weights. Training-eval
+        loops should build one sampler and call this per eval instead of
+        constructing a fresh sampler (which recompiles every chain shape)."""
+        if self.mesh is not None:
+            from difflinker_tpu.parallel import mesh as mesh_lib
+            params = mesh_lib.replicate_params(self.mesh, params)
+        self.params = params
+        return self
+
     # -- jit cache -------------------------------------------------------------
 
     def _chain_fn(self, shape_key, keep_frames):

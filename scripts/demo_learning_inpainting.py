@@ -66,8 +66,10 @@ def main():
     results = []
     t0 = time.time()
 
+    eval_sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+
     def evaluate(epoch, state):
-        sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+        sampler = eval_sampler.update_params(state['params'])
         m = sample_and_analyze(sampler,
                                val_ds.iter_batches(args.batch_size),
                                jax.random.PRNGKey(7), n_samples=1)

@@ -245,3 +245,17 @@ def test_mesh_sampling_ragged_batch_autopads(setup):
     assert out['positions'].shape[0] == 4
     assert not out['nan_flag'].any()
     assert np.isfinite(out['positions']).all()
+
+
+def test_update_params_keeps_compiled_chains(setup):
+    """update_params swaps weights as jit arguments: compiled chains are
+    reused (training-eval loops pay zero recompiles) and outputs change."""
+    cfg, params, edm, batch = setup
+    sampler = LinkerSampler(cfg, params, edm)
+    a = sampler.sample(batch, jax.random.PRNGKey(8), size_spec=5)
+    n_compiled = len(sampler._compiled)
+    p2 = jax.tree.map(lambda x: x + 0.05, params)
+    assert sampler.update_params(p2) is sampler
+    b = sampler.sample(batch, jax.random.PRNGKey(8), size_spec=5)
+    assert len(sampler._compiled) == n_compiled  # no recompilation
+    assert not np.allclose(a['positions'], b['positions'])  # new weights used
