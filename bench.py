@@ -12,12 +12,11 @@ Baseline: the PyTorch reference (igashov/DiffLinker) measured on this host
 0.0197 linkers/s. No GPU exists in this container and the repo publishes no
 numbers (BASELINE.md), so same-host-measured is the only honest denominator.
 
-Implementation note: the ZINC line runs the dense XLA path — two generations
-of fused Pallas kernels and a gather-based sparse path were benchmarked
-against it and XLA wins at that shape (docs/ARCHITECTURE.md §5 has the full
-table). The pocket line races the dense layout against the block-sparse
-tile-pair layout (ModelConfig.tile_size, exact at the computed M) and
-reports whichever wins; the K-neighbor sparse path (ModelConfig.neighbor_k)
+Implementation note: both lines run the dense XLA path — two generations of
+fused Pallas kernels, a gather-based sparse path, and the block-sparse
+tile-pair layout were all benchmarked against it and dense XLA wins at
+these shapes (docs/ARCHITECTURE.md §5 has the full tables; exact-coverage
+tile merely ties dense). The K-neighbor sparse path (ModelConfig.neighbor_k)
 remains the opt-in for very large pockets (N >= 512).
 """
 import json
