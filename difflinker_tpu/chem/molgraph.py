@@ -162,3 +162,18 @@ def build_molecules(one_hot, positions, node_mask, is_geom: bool = True
         types = one_hot[b][keep].argmax(-1)
         out.append(build_molecule(positions[b][keep], types, is_geom))
     return out
+
+
+def chem_env_provenance() -> dict:
+    """Which chemistry backends this environment runs — stamped into every
+    metrics artifact (VERDICT r2 #9: published-protocol validity flows
+    through obabel + RDKit, reformat_data_obabel.py:23, README.md:232-234;
+    outputs must say which stack produced them)."""
+    from difflinker_tpu.io.xyz import obabel_available
+    return {
+        'rdkit': bool(HAS_RDKIT),
+        'obabel': bool(obabel_available()),
+        'smiles_backend': 'rdkit' if HAS_RDKIT else 'native-wl-hash',
+        'bond_perception': 'obabel' if obabel_available()
+                           else 'native-geometric',
+    }

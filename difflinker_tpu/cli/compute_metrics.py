@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import os
 import sys
 
 import numpy as np
@@ -237,6 +238,21 @@ def main(argv=None):
             summary['sc_rdkit_9'] = 100 * float((sc > 0.9).mean())
             summary['sc_rdkit_mean'] = float(sc.mean())
         print(f"Mean RMSD: {summary.get('rmsd', 0):.3f}")
+
+    # stamp protocol provenance into the summary (VERDICT r2 #9): which chem
+    # stack scored this run, plus the sdf-conversion backend recorded by
+    # cli.reformat when its provenance file sits next to the .smi input
+    from difflinker_tpu.chem.molgraph import chem_env_provenance
+    prov = chem_env_provenance()
+    summary['chem_smiles_backend'] = prov['smiles_backend']
+    summary['chem_bond_backend'] = prov['bond_perception']
+    prov_path = args.smi[:-4] + '_provenance.json'
+    if os.path.exists(prov_path):
+        import json
+        with open(prov_path) as f:
+            conversions = json.load(f).get('xyz_to_sdf_conversions', {})
+        summary['sdf_conversion_backend'] = '+'.join(sorted(conversions)) or \
+            prov['bond_perception']
 
     import pandas as pd
     pd.DataFrame(data).to_csv(args.smi[:-3] + 'csv', index=False)

@@ -37,6 +37,10 @@ def build_argparser():
                    help='SizeClassifier .ckpt for learned size prediction')
     p.add_argument('--n-samples', type=int, default=5)
     p.add_argument('--steps', type=int, default=None)
+    p.add_argument('--respace-mode', type=str, default='subsequence',
+                   choices=['subsequence', 'rebuild'],
+                   help='subsequence: gamma from the trained grid (exact); '
+                        'rebuild: regenerate the schedule at T=steps')
     p.add_argument('--anchors', type=str, default=None,
                    help='comma-separated anchor atom indices (1-based)')
     p.add_argument('--out', type=str, default='output')
@@ -77,11 +81,7 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     common.enable_compilation_cache()
     cfg, params = load_model(args)
-    if args.steps:
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(cfg.diffusion,
-                                               timesteps=args.steps))
+    cfg = common.respace_config(cfg, args.steps, args.respace_mode)
     is_geom = cfg.data.is_geom
     sample = fragment_sample_dict(args, is_geom)
     batch = collate([dict(sample) for _ in range(args.n_samples)])

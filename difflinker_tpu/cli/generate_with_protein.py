@@ -45,6 +45,10 @@ def build_argparser(pocket_is_precut: bool = False):
     p.add_argument('--size-model', type=str, default=None)
     p.add_argument('--n-samples', type=int, default=5)
     p.add_argument('--steps', type=int, default=None)
+    p.add_argument('--respace-mode', type=str, default='subsequence',
+                   choices=['subsequence', 'rebuild'],
+                   help='subsequence: gamma from the trained grid (exact); '
+                        'rebuild: regenerate the schedule at T=steps')
     p.add_argument('--anchors', type=str, default=None)
     p.add_argument('--out', type=str, default='output')
     p.add_argument('--seed', type=int, default=0)
@@ -102,11 +106,7 @@ def run(args, pocket_is_precut: bool):
             'this model centers on anchor atoms: pass --anchors i,j '
             '(1-based fragment atom indices) or use a model that does not '
             'require anchor information')
-    if args.steps:
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(cfg.diffusion,
-                                               timesteps=args.steps))
+    cfg = common.respace_config(cfg, args.steps, args.respace_mode)
     sample, center = build_pocket_sample(args, pocket_is_precut)
     batch = collate([dict(sample) for _ in range(args.n_samples)])
 

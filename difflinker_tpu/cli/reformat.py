@@ -71,6 +71,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     rows, mols = [], []
+    backend_counts = {}
     uuid_dirs = sorted((d for d in os.listdir(args.samples) if d.isdigit()),
                        key=int)
     for u in uuid_dirs:
@@ -87,7 +88,8 @@ def main(argv=None):
                 continue
             sdf_path = os.path.join(obabel_dir, f'{stem}_.sdf')
             if not os.path.exists(sdf_path):
-                xyz_to_sdf(os.path.join(folder, fname), sdf_path)
+                backend = xyz_to_sdf(os.path.join(folder, fname), sdf_path)
+                backend_counts[backend] = backend_counts.get(backend, 0) + 1
             if HAS_RDKIT:
                 mol, mol_smi, linker_smi = load_molecule_smiles(
                     sdf_path, true_frag_smi)
@@ -113,7 +115,18 @@ def main(argv=None):
     else:
         from difflinker_tpu.io.xyz import write_sdf
         write_sdf(mols, sdf_path)
-    common.log(f'wrote {len(rows)} entries -> {smi_path}, {sdf_path}')
+    # protocol provenance rides with the dataset: which bond-perception and
+    # SMILES backends produced these files (VERDICT r2 #9)
+    import json
+    from difflinker_tpu.chem.molgraph import chem_env_provenance
+    prov = chem_env_provenance()
+    prov['xyz_to_sdf_conversions'] = backend_counts
+    prov_path = os.path.join(args.out, f'{args.name}_provenance.json')
+    with open(prov_path, 'w') as f:
+        json.dump(prov, f, indent=2)
+    common.log(f'wrote {len(rows)} entries -> {smi_path}, {sdf_path} '
+               f'(chem backends: {prov["bond_perception"]} bonds, '
+               f'{prov["smiles_backend"]} smiles -> {prov_path})')
     return 0
 
 

@@ -34,6 +34,12 @@ def build_argparser():
     p.add_argument('--n-samples', type=int, default=5)
     p.add_argument('--batch-size', type=int, default=64)
     p.add_argument('--steps', type=int, default=None, help='override T')
+    p.add_argument('--respace-mode', type=str, default='subsequence',
+                   choices=['subsequence', 'rebuild'],
+                   help="how --steps respaces the chain: 'subsequence' reads "
+                        "gamma off the trained grid (exact, the reference's "
+                        "n_steps semantics); 'rebuild' regenerates the "
+                        'schedule at T=steps (legacy)')
     p.add_argument('--linker-size', type=str, default='ground_truth',
                    help="'ground_truth' | 'prior' | int | 'lo,hi'")
     p.add_argument('--linker-size-model', type=str, default=None,
@@ -109,11 +115,7 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     common.enable_compilation_cache()
     cfg, params = load_model(args)
-    if args.steps:
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(cfg.diffusion,
-                                               timesteps=args.steps))
+    cfg = common.respace_config(cfg, args.steps, args.respace_mode)
     if args.synthetic:
         ds = synthetic_dataset(args.synthetic, seed=0,
                                is_geom=cfg.data.is_geom)

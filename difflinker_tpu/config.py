@@ -64,11 +64,14 @@ class ModelConfig:
     graph_type: GraphType = GraphType.FC
     # numerics / kernels
     dtype: str = 'float32'            # compute dtype: 'float32' | 'bfloat16'
-    # Per-block jax.checkpoint on the training path. Required at fp32 pocket
-    # shapes (backward without it OOMs holding every block's (B,N,N,H) edge
-    # activations); disabling buys ~17% at bf16 B<=32, N<=256 (measured,
-    # scripts/bench_train_pocket.py + BASELINE.md).
-    remat: bool = True
+    # Per-block jax.checkpoint on the training path: True | False | 'auto'.
+    # Required at fp32 pocket shapes (backward without it OOMs holding every
+    # block's (B,N,N,H) edge activations); disabling buys ~17% where the
+    # backward fits HBM (measured, scripts/bench_train_pocket.py +
+    # BASELINE.md). 'auto' estimates the live edge-activation bytes from the
+    # traced batch shape and drops remat exactly when they fit
+    # (resolve_remat below, calibrated to the round-2 OOM/fit measurements).
+    remat: object = 'auto'
     # 'xla' is the only compute path: two generations of fused Pallas kernels
     # were built, measured on-chip at ZINC and pocket shapes, and both lost
     # ~2x to XLA's own fusion (the dense EGNN is VPU/HBM-roofline-bound at
@@ -105,6 +108,34 @@ class ModelConfig:
         return self.in_node_nf + self.context_node_nf + int(self.condition_time)
 
 
+def resolve_remat(cfg: 'ModelConfig', batch_shape) -> bool:
+    """Decide per-block jax.checkpoint for a concrete (B, N, ...) batch shape
+    (trace-time static, so the decision is free).
+
+    Model: the backward without remat keeps ~k live (B, N, N, H) edge
+    tensors per GCL (edge-MLP input/hidden/output, k≈1.5 after XLA fusion);
+    remat only pays when those exceed the HBM budget. Calibrated against the
+    round-2 measurements (BASELINE.md): fp32 (32, 256) H=128 ×12 GCLs OOMs
+    without remat, bf16 (32, 256) fits (and runs 17% faster), bf16 (16, 512)
+    OOMs — k=1.5 with a 12 GB budget reproduces all three. Override the
+    budget via DIFFLINKER_REMAT_BUDGET_GB."""
+    if cfg.remat != 'auto':
+        return bool(cfg.remat)
+    import os
+    budget_gb = float(os.environ.get('DIFFLINKER_REMAT_BUDGET_GB', 12.0))
+    b, n = int(batch_shape[0]), int(batch_shape[1])
+    if cfg.neighbor_k is not None or cfg.tile_size is not None:
+        # sparse layouts hold K·N (or tile-pair) edges, not N² — scale n_eff
+        n_eff = cfg.neighbor_k or (cfg.tile_size * (cfg.tile_neighbors or 1))
+        n_edges = b * n * min(n_eff, n)
+    else:
+        n_edges = b * n * n
+    itemsize = 2 if cfg.dtype == 'bfloat16' else 4
+    n_gcl = cfg.n_layers * cfg.inv_sublayers
+    live_bytes = 1.5 * n_gcl * n_edges * cfg.hidden_nf * itemsize
+    return live_bytes > budget_gb * 1e9
+
+
 @dataclass(frozen=True)
 class DiffusionConfig:
     """EDM hyperparameters (reference EDM ctor, src/edm.py:15-39)."""
@@ -115,6 +146,21 @@ class DiffusionConfig:
     norm_values: Tuple[float, float, float] = (1.0, 4.0, 10.0)
     norm_biases: Tuple[Optional[float], float, float] = (None, 0.0, 0.0)
     inpainting: bool = False
+    # Replace-inpainting resampling (RePaint, Lugmayr et al. 2022): at each
+    # reverse step run the p/q mix `resample_steps` times, re-noising
+    # z_s -> z_t between repeats, so the generated part harmonises with the
+    # replaced fragment part. 1 = the reference's plain replace-inpainting
+    # (src/edm.py:568-598). Inference-only; ignored by the masked EDM whose
+    # fragments are frozen exactly. Chain cost scales linearly with it.
+    resample_steps: int = 1
+    # Exact-subsequence respacing: the gamma grid of the TRAINED schedule.
+    # None -> `timesteps` (normal training / full-grid sampling). Set to the
+    # trained T while lowering `timesteps` to sample on a coarser loop whose
+    # gamma values are read off the trained table at round(t*schedule_T) —
+    # precisely the reference's `model.edm.T = n_steps` override semantics
+    # (sample.py:94-95 + src/noise.py:126-128), i.e. ancestral subsequence
+    # sampling on the original grid rather than a rebuilt-T' schedule.
+    schedule_timesteps: Optional[int] = None
 
 
 @dataclass(frozen=True)

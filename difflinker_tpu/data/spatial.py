@@ -17,9 +17,13 @@ from typing import Dict
 
 import numpy as np
 
-# per-atom attributes that must ride along with a row permutation
-_ROW_ATTRS = ('positions', 'one_hot', 'charges', 'anchors', 'fragment_mask',
-              'fragment_only_mask', 'pocket_mask', 'linker_mask')
+from difflinker_tpu import constants
+
+# Per-atom attributes that must ride along with a row permutation — derived
+# from the data layer's padded-attribute set so a new per-row attribute can't
+# silently desynchronise from positions (the shape[0]==len(pos) guard in
+# sort_pocket_rows protects non-row entries).
+_ROW_ATTRS = tuple(sorted(constants.DATA_ATTRS_TO_PAD))
 
 
 def morton_codes(x: np.ndarray, bits: int = 10) -> np.ndarray:

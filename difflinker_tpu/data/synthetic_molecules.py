@@ -61,11 +61,14 @@ def _grow_segment(rng, types, positions, parents, n_new, attach_idx):
 
 
 def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
-                         uuid: int = 0) -> Optional[Dict]:
+                         uuid: int = 0, n_linker_fn=None) -> Optional[Dict]:
     """One sample in the canonical dict layout, or None if placement failed.
 
     Topology: frag1-chain — linker-chain — frag2-chain, atoms ordered
-    [frag1 | frag2 | linker] (fragments first, as the reference datasets)."""
+    [frag1 | frag2 | linker] (fragments first, as the reference datasets).
+    `n_linker_fn(frag1_types) -> int` (optional) overrides n_linker once the
+    first fragment's atom types exist — lets the dataset couple linker size
+    to node-local fragment chemistry (see synthetic_molecule_dataset)."""
     # grow the whole molecule as one chain: frag1, linker, frag2
     types: List[int] = [int(_TYPES[rng.integers(len(_TYPES))])]
     positions: List[np.ndarray] = [np.zeros(3)]
@@ -75,6 +78,8 @@ def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
     if last is None:
         return None
     anchor1 = last
+    if n_linker_fn is not None:
+        n_linker = int(n_linker_fn(list(types)))
     last = _grow_segment(rng, types, positions, parents, n_linker, last)
     if last is None:
         return None
@@ -124,6 +129,128 @@ def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
         'fragment_mask': frag_mask, 'linker_mask': link_mask,
         'num_atoms': n,
     }
+
+
+def make_multifrag_sample(rng, frag_sizes: List[int], linker_sizes: List[int],
+                          uuid: int = 0, topology: str = 'chain',
+                          n_types: Optional[int] = None) -> Optional[Dict]:
+    """One k-fragment sample (k = len(frag_sizes)), or None on placement
+    failure. Miniature of the GEOM multifrag task (reference
+    data/geom/generate_geom_multifrag.py:58-110: molecules MMPA/BRICS-cut into
+    3-7 fragments joined by 1..k-1 linker segments).
+
+      topology='chain':  f0 —l0— f1 —l1— f2 … (k-1 coupled linker segments)
+      topology='star':   every outer fragment links to fragment 0
+
+    Atom layout [frag_0 | … | frag_{k-1} | all linker atoms] — fragments
+    first, as the reference datasets require for template creation
+    (src/datasets.py:476-512). Anchors flag every fragment atom bonded to a
+    linker segment (the multifrag `anchors` "i-j-k" convention of
+    data/geom/prepare_geom_dataset.py:291-297 resolved to per-atom flags, as
+    data/datasets.py:273-279 parses it). `linker_sizes` must have k-1 entries;
+    a segment may be size 0 only in chain topology (fragments fused
+    directly — not generated by default ranges).
+    """
+    k = len(frag_sizes)
+    assert k >= 2 and len(linker_sizes) == k - 1, (frag_sizes, linker_sizes)
+    types: List[int] = [int(_TYPES[rng.integers(len(_TYPES))])]
+    positions: List[np.ndarray] = [np.zeros(3)]
+    parents: List[int] = [-1]
+
+    last = _grow_segment(rng, types, positions, parents, frag_sizes[0] - 1, 0)
+    if last is None:
+        return None
+    frag_ranges = [(0, frag_sizes[0])]
+    linker_ranges = []
+    anchor_idx = []
+    for i in range(1, k):
+        if topology == 'chain':
+            attach = last  # chain: link from the end of the previous fragment
+        elif topology == 'star':
+            attach = int(rng.integers(0, frag_sizes[0]))  # link from frag_0
+        else:
+            raise ValueError(topology)
+        anchor_idx.append(attach)
+        lstart = len(types)
+        seg_last = _grow_segment(rng, types, positions, parents,
+                                 linker_sizes[i - 1], attach)
+        if seg_last is None:
+            return None
+        linker_ranges.append((lstart, len(types)))
+        fstart = len(types)
+        anchor_idx.append(fstart)  # first atom of frag_i, bonded to seg end
+        last = _grow_segment(rng, types, positions, parents, frag_sizes[i],
+                             seg_last)
+        if last is None:
+            return None
+        frag_ranges.append((fstart, len(types)))
+
+    n = len(types)
+    types_arr = np.asarray(types)
+    pos_arr = np.asarray(positions, np.float32)
+
+    orders = bond_order_matrix(pos_arr, types_arr)
+    if (orders.sum(1) > constants.MAX_VALENCE[types_arr]).any():
+        return None
+
+    order = [j for lo, hi in frag_ranges for j in range(lo, hi)]
+    n_frag = len(order)
+    order += [j for lo, hi in linker_ranges for j in range(lo, hi)]
+    inv = np.empty(n, int)
+    inv[order] = np.arange(n)
+
+    n_types = n_types or constants.NUMBER_OF_ATOM_TYPES
+    one_hot = np.eye(n_types, dtype=np.float32)[
+        np.clip(types_arr[order], 0, n_types - 1)]
+    charges = np.asarray(
+        [list(constants.CHARGES.values())[min(t, 7)] for t in types_arr[order]],
+        np.float32)
+    frag_mask = np.zeros(n, np.float32)
+    frag_mask[:n_frag] = 1
+    anchors = np.zeros(n, np.float32)
+    anchors[inv[anchor_idx]] = 1
+
+    pos_out = pos_arr[order]
+    pos_out = pos_out - pos_out.mean(0, keepdims=True)
+    return {
+        'uuid': uuid, 'name': f'synthmf{k}_{uuid}',
+        'positions': pos_out.astype(np.float32),
+        'one_hot': one_hot, 'charges': charges, 'anchors': anchors,
+        'fragment_mask': frag_mask, 'linker_mask': 1 - frag_mask,
+        'num_atoms': n,
+    }
+
+
+def synthetic_multifrag_dataset(n_samples: int, *, seed: int = 0,
+                                n_fragments=(3, 5), frag_range=(4, 7),
+                                linker_seg_range=(2, 5),
+                                topology: str = 'mixed',
+                                is_geom: bool = True) -> LinkerDataset:
+    """k-fragment dataset, k ~ U[n_fragments] per sample (GEOM multifrag
+    miniature; is_geom widens one-hot to the 9-type GEOM vocabulary the geom
+    configs train with)."""
+    rng = np.random.default_rng(seed)
+    n_types = (constants.GEOM_NUMBER_OF_ATOM_TYPES if is_geom
+               else constants.NUMBER_OF_ATOM_TYPES)
+    samples = []
+    attempts = 0
+    while len(samples) < n_samples and attempts < n_samples * 40:
+        attempts += 1
+        k = int(rng.integers(n_fragments[0], n_fragments[1] + 1))
+        topo = topology
+        if topology == 'mixed':
+            topo = 'chain' if rng.random() < 0.5 else 'star'
+        s = make_multifrag_sample(
+            rng,
+            frag_sizes=[int(rng.integers(*frag_range)) for _ in range(k)],
+            linker_sizes=[int(rng.integers(*linker_seg_range))
+                          for _ in range(k - 1)],
+            uuid=len(samples), topology=topo, n_types=n_types)
+        if s is not None:
+            samples.append(s)
+    if len(samples) < n_samples:
+        raise RuntimeError(f'only generated {len(samples)}/{n_samples}')
+    return LinkerDataset(samples)
 
 
 def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
@@ -184,14 +311,21 @@ def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
 def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
                                frag_range=(4, 8), linker_range=(3, 8),
                                pocket_range=None,
-                               coupled_linker_size: bool = False) -> LinkerDataset:
-    """coupled_linker_size: make the linker size a function of the fragment
-    sizes instead of independent noise. The SizeGNN sees fragments only,
-    through the reference's d²<6 edge gate (which hides inter-fragment
-    geometry — src/linker_size_lightning.py:106-109), so fragment-content
-    coupling is the only signal a size predictor can legitimately learn from
-    this generator; the default independent sizes make size prediction
-    unlearnable by construction (Bayes accuracy = the prior's)."""
+                               coupled_linker_size=False) -> LinkerDataset:
+    """coupled_linker_size: make the linker size a function of the fragments
+    instead of independent noise (independent sizes are unlearnable by
+    construction — Bayes accuracy = the prior's). Two coupling rules:
+
+      True / 'count': monotone in the total fragment atom count. A GLOBAL
+        magnitude signal: every node contributes equally, only the pooled sum
+        carries information (measured round 2/3: the reference architecture's
+        batch-statistics pathway learns it in train mode but it does not
+        survive eval-mode BatchNorm — scripts/demo_size_conditioned.py).
+      'types': monotone in frag1's heteroatom (N+O) count — a NODE-LOCAL
+        signal (each node's own one-hot decides its contribution), the kind
+        real ZINC fragments carry and the reference SizeGNN provably learns
+        (src/linker_size_lightning.py:14-172).
+    """
     rng = np.random.default_rng(seed)
     lo, hi = linker_range
     samples = []
@@ -200,7 +334,16 @@ def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
         attempts += 1
         n_frag1 = int(rng.integers(*frag_range))
         n_frag2 = int(rng.integers(*frag_range))
-        if coupled_linker_size:
+        n_linker_fn = None
+        if coupled_linker_size == 'types':
+            def n_linker_fn(frag1_types, _n1=n_frag1):
+                # heteroatoms are _TYPES indices 1 (O) and 2 (N); frag1 has
+                # _n1 atoms so the count spans 0.._n1 -> normalise by size
+                n_het = sum(1 for t in frag1_types[:_n1] if t in (1, 2))
+                frac = n_het / max(_n1 - 1, 1)
+                return lo + int(round(min(frac, 1.0) * (hi - 1 - lo)))
+            n_linker = lo  # placeholder, overridden after frag1 grows
+        elif coupled_linker_size:
             # monotone in the total fragment atom count (a pooled GNN can
             # count atoms; a modular rule would be parity-like noise to it)
             span = (frag_range[1] - 1) * 2 - frag_range[0] * 2 + 1
@@ -213,7 +356,8 @@ def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
             n_frag1=n_frag1,
             n_frag2=n_frag2,
             n_linker=n_linker,
-            uuid=len(samples))
+            uuid=len(samples),
+            n_linker_fn=n_linker_fn)
         if s is not None and pocket_range is not None:
             s = _add_pocket_shell(rng, s, int(rng.integers(*pocket_range)))
         if s is not None:

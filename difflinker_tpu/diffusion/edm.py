@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from difflinker_tpu.config import DiffusionConfig, ModelConfig
+from difflinker_tpu.config import DiffusionConfig, ModelConfig, resolve_remat
 from difflinker_tpu.diffusion import schedules
 from difflinker_tpu.models.dynamics import dynamics_apply, init_dynamics
 from difflinker_tpu.ops import geometry
@@ -44,6 +44,14 @@ class EDM:
         self.mcfg = model_cfg
         self.cfg = diff_cfg
         self.T = diff_cfg.timesteps
+        # schedule_T: the grid the gamma table lives on. Equal to T normally;
+        # larger under exact-subsequence respacing (DiffusionConfig docs) —
+        # then the T-step loop reads gamma off the TRAINED schedule_T-grid at
+        # round(t*schedule_T), the reference's n_steps-override semantics.
+        self.schedule_T = diff_cfg.schedule_timesteps or self.T
+        assert self.schedule_T >= self.T, (
+            f'schedule_timesteps {self.schedule_T} < sampling timesteps '
+            f'{self.T}: the subsequence must come from a finer trained grid')
         self.n_dims = model_cfg.n_dims
         self.in_node_nf = model_cfg.in_node_nf
         self.norm_values = diff_cfg.norm_values
@@ -55,7 +63,8 @@ class EDM:
             self.gamma_table = None
         else:
             self.gamma_table = jnp.asarray(schedules.gamma_lookup_table(
-                diff_cfg.noise_schedule, self.T, diff_cfg.noise_precision))
+                diff_cfg.noise_schedule, self.schedule_T,
+                diff_cfg.noise_precision))
 
     # -- parameters --------------------------------------------------------
 
@@ -69,10 +78,11 @@ class EDM:
     # -- gamma -------------------------------------------------------------
 
     def gamma(self, params, t):
-        """γ(t) for t in [0, 1]; shape-preserving over (B, 1)."""
+        """γ(t) for t in [0, 1]; shape-preserving over (B, 1). Lookup rounds
+        on the schedule grid (= the trained grid under respacing)."""
         if self.learned_gamma:
             return schedules.gamma_network_apply(params['gamma'], t)
-        return schedules.gamma_from_table(self.gamma_table, t, self.T)
+        return schedules.gamma_from_table(self.gamma_table, t, self.schedule_T)
 
     # -- normalisation (src/edm.py:347-361) ---------------------------------
 
@@ -99,23 +109,36 @@ class EDM:
     # -- training loss (src/edm.py:41-124) -----------------------------------
 
     def loss(self, params, key, x, h, node_mask, fragment_mask, linker_mask,
-             edge_mask, context=None):
+             edge_mask, context=None, sample_weight=None):
         """Returns the 7-term loss dict. Noise mask = linker only; fragments
-        (incl. pocket atoms) pass through unchanged."""
+        (incl. pocket atoms) pass through unchanged.
+
+        `sample_weight` (B,) re-weights every batch-mean term (weighted mean,
+        sum(w·v)/sum(w)); weight-0 rows contribute exactly nothing to the
+        loss or its gradient. The trainer zeroes wrap-padded duplicate rows
+        this way so ragged-batch padding cannot bias gradients."""
         return self._loss_impl(params, key, x, h, node_mask, fragment_mask,
                                linker_mask, edge_mask, context,
-                               noise_mask=linker_mask, freeze_fragments=True)
+                               noise_mask=linker_mask, freeze_fragments=True,
+                               sample_weight=sample_weight)
 
     def _loss_impl(self, params, key, x, h, node_mask, fragment_mask,
                    linker_mask, edge_mask, context, *, noise_mask,
-                   freeze_fragments):
+                   freeze_fragments, sample_weight=None):
         bs, n_nodes = x.shape[0], x.shape[1]
         kt, keps = jax.random.split(key)
+        if sample_weight is None:
+            w = jnp.ones((bs,), x.dtype)
+        else:
+            w = jnp.asarray(sample_weight, x.dtype).reshape(bs)
+
+        def wmean(v):
+            return jnp.sum(v * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         x, h = self.normalize(x, h)
         xh = jnp.concatenate([x, h], axis=-1)
 
-        delta_log_px = jnp.mean(self.delta_log_px(noise_mask))
+        delta_log_px = wmean(self.delta_log_px(noise_mask))
 
         t_int = jax.random.randint(kt, (bs, 1), 0, self.T + 1).astype(jnp.float32)
         s_int = t_int - 1
@@ -137,7 +160,8 @@ class EDM:
         eps_hat, nan_flag = dynamics_apply(
             params['dynamics'], t, z_t, node_mask,
             linker_mask if freeze_fragments else None,
-            edge_mask, context, cfg=self.mcfg, remat=self.mcfg.remat)
+            edge_mask, context, cfg=self.mcfg,
+            remat=resolve_remat(self.mcfg, z_t.shape))
         if freeze_fragments:
             eps_hat = eps_hat * linker_mask
 
@@ -145,30 +169,32 @@ class EDM:
 
         normalization = ((self.n_dims + self.in_node_nf)
                          * geometry.numbers_of_nodes(noise_mask))
-        l2_loss = jnp.mean(error_t / normalization)
+        l2_loss = wmean(error_t / normalization)
 
-        kl_prior = jnp.mean(self.kl_prior(params, xh, noise_mask))
+        kl_prior = wmean(self.kl_prior(params, xh, noise_mask))
 
         snr_weight = (schedules.snr(gamma_s - gamma_t) - 1.0).reshape(bs)
         loss_t_each = self.T * 0.5 * snr_weight * error_t
-        n_pos = jnp.sum(t_is_not_zero)
+        w_pos = t_is_not_zero * w
+        n_pos = jnp.sum(w_pos)
         loss_term_t = jnp.where(
-            n_pos > 0, jnp.sum(loss_t_each * t_is_not_zero) / jnp.maximum(n_pos, 1.0), 0.0)
+            n_pos > 0, jnp.sum(loss_t_each * w_pos) / jnp.maximum(n_pos, 1.0), 0.0)
 
         noise = jnp.sqrt(geometry.sum_except_batch(eps_hat ** 2))
         noise_t = jnp.where(
-            n_pos > 0, jnp.sum(noise * t_is_not_zero) / jnp.maximum(n_pos, 1.0), 0.0)
+            n_pos > 0, jnp.sum(noise * w_pos) / jnp.maximum(n_pos, 1.0), 0.0)
 
         # L0 term, evaluated for every sample then masked to t==0
         # (src/edm.py:107-122). Safe under jit: both branches always computed.
-        n_zero = jnp.sum(t_is_zero)
+        w_zero = t_is_zero * w
+        n_zero = jnp.sum(w_zero)
         neg_log_constants = -self.log_constant_of_p_x_given_z0(params, x, noise_mask)
         loss_term_0_each = (-self.log_p_xh_given_z0_without_constants(
             h, z_t, gamma_t, eps_t, eps_hat, noise_mask) + neg_log_constants)
         loss_term_0 = jnp.where(
-            n_zero > 0, jnp.sum(loss_term_0_each * t_is_zero) / jnp.maximum(n_zero, 1.0), 0.0)
+            n_zero > 0, jnp.sum(loss_term_0_each * w_zero) / jnp.maximum(n_zero, 1.0), 0.0)
         noise_0 = jnp.where(
-            n_zero > 0, jnp.sum(noise * t_is_zero) / jnp.maximum(n_zero, 1.0), 0.0)
+            n_zero > 0, jnp.sum(noise * w_zero) / jnp.maximum(n_zero, 1.0), 0.0)
 
         vlb_loss = kl_prior + loss_term_t + loss_term_0 - delta_log_px
         loss = l2_loss if self.cfg.loss_type == 'l2' else vlb_loss
@@ -406,10 +432,11 @@ class InpaintingEDM(EDM):
         return (geometry.numbers_of_nodes(mask) - 1) * self.n_dims
 
     def loss(self, params, key, x, h, node_mask, fragment_mask, linker_mask,
-             edge_mask, context=None):
+             edge_mask, context=None, sample_weight=None):
         return self._loss_impl(params, key, x, h, node_mask, fragment_mask,
                                linker_mask, edge_mask, context,
-                               noise_mask=node_mask, freeze_fragments=False)
+                               noise_mask=node_mask, freeze_fragments=False,
+                               sample_weight=sample_weight)
 
     def init_z(self, key, xh, fragment_mask, linker_mask):
         node_mask = ((fragment_mask + linker_mask) > 0).astype(xh.dtype)
@@ -422,10 +449,15 @@ class InpaintingEDM(EDM):
                     linker_mask, edge_mask, context, xh_fragments=None):
         """p-sample everything, q-sample fragments from the ground truth
         `xh_fragments` (threaded in by sample_chain), mix, and re-project the
-        CoM (src/edm.py:568-598)."""
+        CoM (src/edm.py:568-598).
+
+        With cfg.resample_steps > 1 the p/q mix is repeated RePaint-style:
+        z_s is re-noised back to t (z_t' = α_{t|s}·z_s + σ_{t|s}·ε) between
+        repeats so the generated part can harmonise with the replaced
+        fragments — a pure inference-time knob over the reference
+        formulation."""
         bs = z_t.shape[0]
         xh_frag = xh_fragments
-        kp, kq = jax.random.split(key)
         s = jnp.full((bs, 1), 0.0, z_t.dtype) + s_int / self.T
         t = s + 1.0 / self.T
         gamma_s = _inflate(self.gamma(params, s), z_t.ndim)
@@ -435,24 +467,43 @@ class InpaintingEDM(EDM):
         sigma_s = schedules.sigma_from_gamma(gamma_s)
         sigma_t = schedules.sigma_from_gamma(gamma_t)
         alpha_s = schedules.alpha_from_gamma(gamma_s)
-
-        # p(z_s | z_t) over all nodes
-        eps_hat, nan_flag = dynamics_apply(
-            params['dynamics'], t, z_t, node_mask, None, edge_mask, context,
-            cfg=self.mcfg)
-        mu_p = z_t / alpha_tgs - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat
         sigma = sigma_tgs * sigma_s / sigma_t
-        z_p = mu_p + sigma * self.sample_noise(kp, z_t.shape[:2], node_mask)
 
-        # q(z_s | z_t, x) for the fragment part (src/edm.py:650-670)
-        mu_q = (alpha_tgs * (sigma_s ** 2) / (sigma_t ** 2) * z_t
-                + alpha_s * sigma2_tgs / (sigma_t ** 2) * xh_frag)
-        z_q = mu_q + sigma * self.sample_noise(kq, z_t.shape[:2], fragment_mask)
+        def one_transition(z_t, k):
+            kp, kq = jax.random.split(k)
+            # p(z_s | z_t) over all nodes
+            eps_hat, nan_flag = dynamics_apply(
+                params['dynamics'], t, z_t, node_mask, None, edge_mask,
+                context, cfg=self.mcfg)
+            mu_p = (z_t / alpha_tgs
+                    - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat)
+            z_p = mu_p + sigma * self.sample_noise(kp, z_t.shape[:2],
+                                                   node_mask)
+            # q(z_s | z_t, x) for the fragment part (src/edm.py:650-670)
+            mu_q = (alpha_tgs * (sigma_s ** 2) / (sigma_t ** 2) * z_t
+                    + alpha_s * sigma2_tgs / (sigma_t ** 2) * xh_frag)
+            z_q = mu_q + sigma * self.sample_noise(kq, z_t.shape[:2],
+                                                   fragment_mask)
+            z = z_p * linker_mask + z_q * fragment_mask
+            z_x = geometry.remove_mean_with_mask(z[..., :self.n_dims],
+                                                 node_mask)
+            return jnp.concatenate([z_x, z[..., self.n_dims:]], axis=-1), \
+                nan_flag
 
-        z = z_p * linker_mask + z_q * fragment_mask
-        z_x = geometry.remove_mean_with_mask(z[..., :self.n_dims], node_mask)
-        z = jnp.concatenate([z_x, z[..., self.n_dims:]], axis=-1)
-        return z, nan_flag
+        r = max(int(self.cfg.resample_steps), 1)
+        if r == 1:
+            return one_transition(z_t, key)
+        nan = jnp.zeros((bs,), bool)
+        z_s = z_t
+        for j in range(r):  # static unroll; r is small
+            kj = jax.random.fold_in(key, j)
+            z_s, nan_j = one_transition(z_t, kj)
+            nan = nan | nan_j
+            if j < r - 1:
+                eps = self.sample_noise(jax.random.fold_in(kj, 7919),
+                                        z_t.shape[:2], node_mask)
+                z_t = alpha_tgs * z_s + sigma_tgs * eps
+        return z_s, nan
 
     def decode_z0(self, params, key, z_0, node_mask, fragment_mask,
                   linker_mask, edge_mask, context):

@@ -95,14 +95,33 @@ class CheckpointManager:
 
         Inference loaders use this: a run trained with --ema carries an
         `ema_params` tree the training-template restore would need to know
-        about in advance; raw restore lets callers prefer it when present."""
+        about in advance; raw restore lets callers prefer it when present.
+        Template-free restore is orbax-version-sensitive about list nodes
+        (some versions hand back {'0': ..., '1': ...} dicts); `_relistify`
+        normalises those back to lists so params trees keep their shape."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f'no checkpoints under {self.run_dir}')
-        return self._mgr.restore(step)
+        return _relistify(self._mgr.restore(step))
 
     def close(self):
         self._mgr.close()
+
+
+def _relistify(tree):
+    """Convert dict nodes whose keys are exactly '0'..'n-1' back into lists
+    (template-free orbax restores may stringify list indices; downstream code
+    iterates params['egnn']['blocks'] as a list)."""
+    if isinstance(tree, dict):
+        conv = {k: _relistify(v) for k, v in tree.items()}
+        keys = list(conv.keys())
+        if keys and all(isinstance(k, str) and k.isdigit() for k in keys) \
+                and sorted(int(k) for k in keys) == list(range(len(keys))):
+            return [conv[str(i)] for i in range(len(keys))]
+        return conv
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_relistify(v) for v in tree)
+    return tree
 
 
 def save_params_npz(params: Dict, path: str) -> None:

@@ -216,13 +216,21 @@ class SizePredictor:
             raise ValueError(self.task)
         return loss, (out, new_state)
 
-    def predict_sizes(self, params, batch, state=None) -> np.ndarray:
+    def predict_sizes(self, params, batch, state=None, key=None) -> np.ndarray:
         """Predicted linker sizes (atoms), as used by sample-time size
-        selection (sample.py:66-81, generate.py:88-99)."""
+        selection (sample.py:66-81, generate.py:88-99).
+
+        With a PRNG `key`, the classification head SAMPLES class ids from
+        softmax(logits) — the reference draws from a Categorical at sampling
+        time (sample.py:71-74, generate.py:91-95) so repeated samples get
+        diverse sizes; argmax (key=None) is for accuracy-style evaluation."""
         out, _ = self.forward(params, batch, state, train=False,
                               adjust_shape=True)
         if self.task == 'classification':
-            ids = np.asarray(jnp.argmax(out, axis=-1))
+            if key is not None:
+                ids = np.asarray(jax.random.categorical(key, out, axis=-1))
+            else:
+                ids = np.asarray(jnp.argmax(out, axis=-1))
             return np.asarray([self.id2size[i] for i in ids], np.int32)
         if self.task == 'ordinal':
             ids = np.asarray(ordinal_prediction_to_label(out))
@@ -238,15 +246,15 @@ def size_prediction_fn(predictor: 'SizePredictor', params, state=None):
     fragment mask of whatever batch the sampler is holding."""
     from difflinker_tpu.data.collate import reference_edge_mask
 
-    def fn(batch: Dict) -> np.ndarray:
-        key = ('fragment_only_mask'
-               if predictor.with_pocket and 'fragment_only_mask' in batch
-               else 'fragment_mask')
-        frag = np.asarray(batch[key])[..., 0]
+    def fn(batch: Dict, key=None) -> np.ndarray:
+        mask_key = ('fragment_only_mask'
+                    if predictor.with_pocket and 'fragment_only_mask' in batch
+                    else 'fragment_mask')
+        frag = np.asarray(batch[mask_key])[..., 0]
         sized = dict(batch)
         sized['edge_mask'] = reference_edge_mask(frag)
         if predictor.with_pocket:
-            sized.setdefault('fragment_only_mask', batch[key])
-        return predictor.predict_sizes(params, sized, state)
+            sized.setdefault('fragment_only_mask', batch[mask_key])
+        return predictor.predict_sizes(params, sized, state, key=key)
 
     return fn

@@ -35,7 +35,15 @@ def resolve_linker_sizes(size_spec: SizeSpec, batch: Dict, key) -> np.ndarray:
     """Linker sizes per sample (generate.py:68-99 polymorphism)."""
     n = np.asarray(batch['fragment_mask']).shape[0]
     if callable(size_spec):
-        return np.asarray(size_spec(batch), np.int32)
+        # pass the PRNG key so predictors can draw from their categorical
+        # (reference sample.py:71-74); key-less callables keep working
+        import inspect
+        try:
+            takes_key = len(inspect.signature(size_spec).parameters) >= 2
+        except (TypeError, ValueError):
+            takes_key = False
+        return np.asarray(
+            size_spec(batch, key) if takes_key else size_spec(batch), np.int32)
     if size_spec == 'ground_truth':
         return np.asarray(batch['linker_mask'])[..., 0].sum(-1).astype(np.int32)
     if size_spec == 'prior':

@@ -55,9 +55,12 @@ def com_mask_for(batch: Dict, *, center_of_mass: CenterOfMass,
 
 def wrap_pad(arrays: Dict, n_dev: int, *, axis: int = 0) -> (Dict, int):
     """Wrap-pad the batch axis of every array to a multiple of n_dev with
-    duplicate samples (so ragged batches shard instead of being dropped;
-    duplicates mildly over-weight a few samples — shuffling rotates which).
-    Returns (padded arrays, number of padded rows; 0 = untouched)."""
+    duplicate samples (so ragged batches shard instead of being dropped).
+    A `sample_weight` array is attached/extended with 0 for the duplicated
+    rows — the EDM loss weights every batch-mean term by it, so duplicates
+    contribute exactly nothing to the loss or the gradients (they only fill
+    out the device mesh). Returns (padded arrays, number of padded rows;
+    0 = untouched, no weight added)."""
     bs = next(iter(arrays.values())).shape[axis]
     if bs % n_dev == 0:
         return arrays, 0
@@ -66,6 +69,15 @@ def wrap_pad(arrays: Dict, n_dev: int, *, axis: int = 0) -> (Dict, int):
     out = {k: np.concatenate(
         [np.asarray(v), np.take(np.asarray(v), pad_rows, axis=axis)],
         axis=axis) for k, v in arrays.items()}
+    if 'sample_weight' in out:
+        # existing weights were wrapped along with the rows — zero the pad
+        w = np.array(out['sample_weight'], np.float32)
+    else:
+        lead = out[next(iter(out))].shape[:axis + 1]
+        w = np.ones(lead, np.float32)
+    pad_slice = (slice(None),) * axis + (slice(bs, None),)
+    w[pad_slice] = 0.0
+    out['sample_weight'] = w
     return out, pad
 
 
@@ -76,7 +88,7 @@ class Trainer:
 
     BATCH_KEYS = ('positions', 'one_hot', 'atom_mask', 'fragment_mask',
                   'linker_mask', 'anchors', 'edge_mask', 'fragment_only_mask',
-                  'pocket_mask')
+                  'pocket_mask', 'sample_weight')
 
     def __init__(self, cfg: ExperimentConfig, mesh=None,
                  grad_clip_norm: Optional[float] = None,
@@ -144,7 +156,8 @@ class Trainer:
         terms = self.edm.loss(
             params, kloss, x, batch['one_hot'], batch['atom_mask'],
             batch['fragment_mask'], batch['linker_mask'],
-            batch.get('edge_mask'), context)
+            batch.get('edge_mask'), context,
+            sample_weight=batch.get('sample_weight'))
         return terms['loss'], terms
 
     # -- steps ----------------------------------------------------------------
@@ -219,7 +232,7 @@ class Trainer:
         batch_size = max((batch_size // n_dev) * n_dev, n_dev)
         agg = {}
         weights = []
-        duplicated = 0  # wrap-padded rows added so ragged buckets still train
+        duplicated = 0  # zero-weight wrap-pad rows (mesh fill, no gradient)
         dropped = 0     # ragged epoch tails left out by stacked_epoch
         step_fn = self.compiled_epoch_scan()
         for bucket, stacked in packed.stacked_epoch(
@@ -249,7 +262,7 @@ class Trainer:
             out['dropped_tail_samples'] = float(dropped)
             if not getattr(self, '_warned_ragged', False):
                 print(f'[trainer] ragged-epoch accounting: {duplicated} '
-                      f'wrap-padded duplicates, {dropped} tail samples '
+                      f'zero-weight wrap-pad rows, {dropped} tail samples '
                       f'dropped this epoch (reported per-epoch in metrics)')
                 self._warned_ragged = True
         return state, out
@@ -321,7 +334,8 @@ class Trainer:
         sub = {k: batch[k] for k in self.BATCH_KEYS if k in batch}
         if self.mesh is not None:
             # ragged batches can't shard evenly — wrap-pad to a device
-            # multiple with duplicate samples so no sample is dropped
+            # multiple with zero-weight duplicate rows so no sample is
+            # dropped and no gradient is double-counted
             n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
             sub, pad = wrap_pad(sub, n_dev)
             if pad and not getattr(self, '_warned_pad', False):

@@ -32,6 +32,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--params', required=True, help='.npz from demo_learning --save-params')
     p.add_argument('--steps', type=str, default='500,250,100,50,25,10')
+    p.add_argument('--mode', type=str, default='both',
+                   choices=['subsequence', 'rebuild', 'both'],
+                   help='subsequence: gamma read off the trained grid '
+                        "(exact, the reference's n_steps semantics); "
+                        'rebuild: regenerate the schedule at T (legacy); '
+                        'both: measure the two side by side')
     p.add_argument('--val-size', type=int, default=256)
     p.add_argument('--n-samples', type=int, default=1)
     p.add_argument('--out', type=str, default=None)
@@ -75,9 +81,14 @@ def main():
     val_ds = synthetic_molecule_dataset(
         args.val_size, seed=1, **({'pocket_range': (8, 16)} if pocket else {}))
 
+    from difflinker_tpu.cli.common import respace_config
+
+    modes = (['subsequence', 'rebuild'] if args.mode == 'both'
+             else [args.mode])
     rows = []
     for T in [int(s) for s in args.steps.split(',')]:
-        cfg = make_cfg(T)
+      for mode in (modes if T != mc['timesteps'] else modes[:1]):
+        cfg = respace_config(make_cfg(mc['timesteps']), T, mode)
         sampler = LinkerSampler(cfg, params, pad_batch_to=64)
         # warm-up to exclude compile time from the throughput number
         batches = list(val_ds.iter_batches(64))
@@ -87,7 +98,7 @@ def main():
                                n_samples=args.n_samples)
         dt = time.time() - t0
         n_linkers = args.val_size * args.n_samples
-        row = {'T': T,
+        row = {'T': T, 'mode': mode,
                'validity': round(m['validity'], 4),
                'validity_and_connectivity':
                    round(m['validity_and_connectivity'], 4),

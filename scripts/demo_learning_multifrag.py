@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""End-to-end MULTI-FRAGMENT learning demo — the reference's headline
+"arbitrary number of fragments" capability (README.md:8-9) exercised through
+the full loop: k∈{3..5}-fragment synthetic molecules (chain + star
+topologies, k-1 coupled linker segments), trained with the GEOM recipe
+(configs/geom_difflinker.yml: 6 layers, CoM=fragments, NO anchors context,
+9-type GEOM vocabulary), sampled with multi-segment templates, scored with
+the framework's bond perception.
+
+    python scripts/demo_learning_multifrag.py --epochs 1500 --cosine \
+        --out docs/demo_geom_multifrag_results.json
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=1500)
+    p.add_argument('--eval-every', type=int, default=100)
+    p.add_argument('--train-size', type=int, default=4000)
+    p.add_argument('--val-size', type=int, default=128)
+    p.add_argument('--batch-size', type=int, default=128)
+    p.add_argument('--out', type=str, default=None)
+    p.add_argument('--hidden', type=int, default=256)
+    p.add_argument('--layers', type=int, default=6)  # geom_difflinker.yml
+    p.add_argument('--lr', type=float, default=4e-4)
+    p.add_argument('--cosine', action='store_true')
+    p.add_argument('--timesteps', type=int, default=500)
+    p.add_argument('--n-fragments', type=str, default='3,5')
+    p.add_argument('--save-params', type=str, default=None)
+    args = p.parse_args()
+
+    import jax
+    from difflinker_tpu.config import (DataConfig, DatasetFamily,
+                                       DiffusionConfig, ExperimentConfig,
+                                       ModelConfig, TrainConfig)
+    from difflinker_tpu.data.packed import PackedDataset
+    from difflinker_tpu.data.synthetic_molecules import synthetic_multifrag_dataset
+    from difflinker_tpu.sample.sampler import LinkerSampler
+    from difflinker_tpu.train.evaluation import sample_and_analyze
+    from difflinker_tpu.train.trainer import Trainer
+
+    kmin, kmax = (int(v) for v in args.n_fragments.split(','))
+    # the GEOM recipe: no anchors channel -> context = fragment flag only
+    cfg = ExperimentConfig(
+        exp_name='geom_multifrag_demo',
+        model=ModelConfig(in_node_nf=9, context_node_nf=1,
+                          hidden_nf=args.hidden, n_layers=args.layers,
+                          norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=args.timesteps),
+        data=DataConfig(family=DatasetFamily.GEOM),
+        train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
+                          anchors_context=False, n_stability_samples=1))
+
+    print(f'generating {args.train_size}+{args.val_size} synthetic '
+          f'{kmin}-{kmax}-fragment molecules...', flush=True)
+    train_raw = synthetic_multifrag_dataset(
+        args.train_size, seed=0, n_fragments=(kmin, kmax))
+    train_ds = PackedDataset(train_raw.samples)
+    val_ds = synthetic_multifrag_dataset(
+        args.val_size, seed=1, n_fragments=(kmin, kmax))
+    ks = [s['name'].split('_')[0] for s in val_ds.samples]
+    print('val fragment-count mix:',
+          {k: ks.count(k) for k in sorted(set(ks))}, flush=True)
+
+    steps_per_epoch = max(train_ds.num_steps(args.batch_size), 1)
+    trainer = Trainer(cfg,
+                      lr_schedule='cosine' if args.cosine else 'constant',
+                      decay_steps=args.epochs * steps_per_epoch,
+                      warmup_steps=5 * steps_per_epoch if args.cosine else 0)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    results = []
+    t_start = time.time()
+
+    eval_sampler = LinkerSampler(cfg, state['params'], trainer.edm,
+                                 pad_batch_to=args.batch_size)
+
+    def evaluate(epoch, state):
+        sampler = eval_sampler.update_params(state['params'])
+        m = sample_and_analyze(
+            sampler, val_ds.iter_batches(args.batch_size),
+            jax.random.PRNGKey(7), n_samples=1)
+        row = {'epoch': epoch, 'elapsed_s': round(time.time() - t_start, 1),
+               'validity': round(m['validity'], 4),
+               'validity_and_connectivity': round(
+                   m['validity_and_connectivity'], 4),
+               'uniqueness': round(m['uniqueness'], 4)}
+        results.append(row)
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(results, f, indent=2)
+        print(json.dumps(row), flush=True)
+        return m
+
+    evaluate(0, state)
+    for epoch in range(args.epochs):
+        key, ktrain = jax.random.split(key)
+        state, metrics = trainer.fit_epoch_scanned(
+            state, train_ds, args.batch_size, ktrain, shuffle=True, seed=epoch)
+        if (epoch + 1) % args.eval_every == 0:
+            print(f'epoch {epoch + 1}: loss={metrics["loss"]:.4f}', flush=True)
+            evaluate(epoch + 1, state)
+
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(results, f, indent=2)
+    if args.save_params:
+        from difflinker_tpu.io.checkpoints import save_params_npz
+        save_params_npz(state['params'], args.save_params)
+        with open(args.save_params + '.config.json', 'w') as f:
+            json.dump({'hidden': args.hidden, 'layers': args.layers,
+                       'timesteps': args.timesteps,
+                       'n_fragments': [kmin, kmax]}, f)
+        print(f'saved params to {args.save_params}', flush=True)
+    first, last = results[0], results[-1]
+    best = max(results, key=lambda r: r['validity_and_connectivity'])
+    print(f'validity {first["validity"]:.2%} -> {last["validity"]:.2%}; '
+          f'valid+connected {first["validity_and_connectivity"]:.2%} -> '
+          f'{last["validity_and_connectivity"]:.2%} '
+          f'(best {best["validity_and_connectivity"]:.2%} @ep{best["epoch"]})')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,34 +1,26 @@
 #!/usr/bin/env python
-"""Learned-size end-to-end demo (ROADMAP gap: size-conditioned sampling
-scored against ground truth).
+"""Learned-size end-to-end demo with the size-signal diagnosis
+(VERDICT r2 weak #1 / next-round #3).
 
-Trains a SizePredictor (classification head) on the synthetic molecules
-(with sizes coupled to fragment content — see
-synthetic_molecules.coupled_linker_size), reports its size accuracy against
-the categorical-prior and majority-class baselines, then trains the
-diffusion model and compares the full sampling metrics under three size
-sources:
+Round-2 finding, now isolated by construction: with `--coupling count` the
+only size signal is the pooled fragment-atom count — a GLOBAL magnitude
+signal that the reference SizeGNN (BatchNorm GCLs + mean-pool readout,
+src/linker_size_lightning.py:83-109) learns through batch statistics in
+train mode but that does NOT survive eval-mode BatchNorm (running stats).
+`--coupling types` (default) makes the signal NODE-LOCAL instead — the
+linker size follows frag1's heteroatom count, the kind of per-node chemistry
+real ZINC fragments carry — and the same architecture learns it fine in eval
+mode. The demo reports both modes' accuracies per head (classification /
+ordinal / regression), picks the best head, then runs the size-conditioned
+sampling sweep on the wide diffusion recipe:
 
   * ground_truth — oracle linker sizes (upper bound),
   * predictor    — the trained SizeGNN via size_prediction_fn
-                   (the generate.py:88-99 user journey),
+                   (the generate.py:88-99 user journey, categorical draws),
   * prior        — DistributionNodes categorical prior (lower bound).
 
-Honest ceiling, measured 2026-08-16: on THIS generator the only size signal
-a fragment-only model can use is the pooled atom count, and the reference
-SizeGNN architecture (BatchNorm over B·N rows, mean-pool readout,
-d²<6-gated edges) learns such pooled-count signals only *relative to batch
-statistics* — train-mode (batch-stat) val MSE reaches 0.23 while eval-mode
-(running-stat) predictions collapse to ~prior quality, across
-classification/ordinal/regression heads, lr schedules, stats-refresh and
-affine recalibration. Real ZINC fragments carry node-local chemistry the
-architecture demonstrably does learn (the published predictor); meaningful
-accuracy here therefore needs the real datasets (ROADMAP gap). This demo
-still proves the full journey: train -> checkpoint-compatible predictor ->
-size_prediction_fn -> sampler -> metrics, and quantifies what oracle vs
-prior sizes are worth downstream.
-
-    python scripts/demo_size_conditioned.py [--epochs 600]
+    python scripts/demo_size_conditioned.py --epochs 1500 --cosine \
+        --out docs/demo_size_results.json
 """
 import argparse
 import json
@@ -38,18 +30,26 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--epochs', type=int, default=600,
+    p.add_argument('--epochs', type=int, default=1500,
                    help='diffusion training epochs')
-    p.add_argument('--size-epochs', type=int, default=40)
+    p.add_argument('--size-epochs', type=int, default=60)
     p.add_argument('--train-size', type=int, default=3000)
     p.add_argument('--val-size', type=int, default=128)
     p.add_argument('--batch-size', type=int, default=128)
-    p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--hidden', type=int, default=256)
     p.add_argument('--layers', type=int, default=6)
+    p.add_argument('--timesteps', type=int, default=500)
+    p.add_argument('--cosine', action='store_true', default=True)
     p.add_argument('--size-hidden', type=int, default=128)
     p.add_argument('--size-layers', type=int, default=3)
+    p.add_argument('--heads', type=str,
+                   default='classification,ordinal,regression')
+    p.add_argument('--coupling', type=str, default='types',
+                   choices=['types', 'count'])
     p.add_argument('--n-eval-samples', type=int, default=2)
     p.add_argument('--out', type=str, default=None)
+    p.add_argument('--skip-diffusion', action='store_true',
+                   help='size-predictor study only')
     args = p.parse_args()
 
     import jax
@@ -71,82 +71,126 @@ def main():
     from difflinker_tpu.train.trainer import Trainer
 
     t0 = time.time()
-    print(f'generating {args.train_size}+{args.val_size} molecules...',
-          flush=True)
-    # coupled sizes: the d²<6-gated fragment graph hides inter-fragment
-    # geometry, so independent sizes would be unlearnable by construction
+    coupling = 'types' if args.coupling == 'types' else True
+    print(f'generating {args.train_size}+{args.val_size} molecules '
+          f'(coupling={args.coupling})...', flush=True)
     train_raw = synthetic_molecule_dataset(args.train_size, seed=0,
-                                           coupled_linker_size=True)
+                                           coupled_linker_size=coupling)
     val_ds = synthetic_molecule_dataset(args.val_size, seed=1,
-                                        coupled_linker_size=True)
-    # ---- 1. size predictor ------------------------------------------------
-    predictor = SizePredictor(
-        in_node_nf=constants.NUMBER_OF_ATOM_TYPES,
-        hidden_nf=args.size_hidden,
-        out_node_nf=len(constants.ZINC_TRAIN_LINKER_ID2SIZE),
-        n_layers=args.size_layers)
-    sparams, bn_state = predictor.init(jax.random.PRNGKey(2))
-    steps_per_epoch = max(len(train_raw.samples) // args.batch_size, 1)
-    tx = optax.adam(optax.cosine_decay_schedule(
-        1e-3, args.size_epochs * steps_per_epoch))
-    opt_state = tx.init(sparams)
-
-    @jax.jit
-    def size_step(sparams, bn_state, opt_state, batch):
-        (loss, (_, new_bn)), grads = jax.value_and_grad(
-            lambda q: predictor.loss(q, batch, bn_state, train=True),
-            has_aux=True)(sparams)
-        updates, opt_state = tx.update(grads, opt_state, sparams)
-        return optax.apply_updates(sparams, updates), new_bn, opt_state, loss
+                                        coupled_linker_size=coupling)
 
     def device_batch(b):
         keys = ('positions', 'one_hot', 'fragment_mask', 'linker_mask',
                 'edge_mask')
         return {k: jnp.asarray(v) for k, v in b.items() if k in keys}
 
-    for epoch in range(args.size_epochs):
-        losses = []
-        for batch in train_raw.iter_batches(args.batch_size, shuffle=True,
-                                            seed=epoch,
-                                            fragment_edges_only=True):
-            sparams, bn_state, opt_state, loss = size_step(
-                sparams, bn_state, opt_state, device_batch(batch))
-            losses.append(float(loss))
-        if (epoch + 1) % 10 == 0:
-            print(f'size epoch {epoch + 1}: loss={np.mean(losses):.4f}',
-                  flush=True)
+    # ---- 1. size predictors: one per head --------------------------------
+    def train_predictor(task):
+        predictor = SizePredictor(
+            in_node_nf=constants.NUMBER_OF_ATOM_TYPES,
+            hidden_nf=args.size_hidden,
+            out_node_nf=len(constants.ZINC_TRAIN_LINKER_ID2SIZE),
+            n_layers=args.size_layers, task=task)
+        sparams, bn_state = predictor.init(jax.random.PRNGKey(2))
+        steps_per_epoch = max(len(train_raw.samples) // args.batch_size, 1)
+        tx = optax.adam(optax.cosine_decay_schedule(
+            1e-3, args.size_epochs * steps_per_epoch))
+        opt_state = tx.init(sparams)
 
-    # val accuracy vs baselines — true sizes collected from the SAME batch
-    # stream as the predictions (iter_batches groups by size bucket, so
-    # dataset-order labels would be misaligned)
-    preds, trues = [], []
-    for batch in val_ds.iter_batches(args.batch_size,
-                                     fragment_edges_only=True):
-        preds.append(predictor.predict_sizes(sparams, device_batch(batch),
-                                             bn_state))
-        trues.append(np.asarray(batch['linker_mask'])[..., 0].sum(-1))
-    preds = np.concatenate(preds)
-    true_sizes = np.concatenate(trues).astype(np.int32)
+        @jax.jit
+        def size_step(sparams, bn_state, opt_state, batch):
+            (loss, (_, new_bn)), grads = jax.value_and_grad(
+                lambda q: predictor.loss(q, batch, bn_state, train=True),
+                has_aux=True)(sparams)
+            updates, opt_state = tx.update(grads, opt_state, sparams)
+            return (optax.apply_updates(sparams, updates), new_bn, opt_state,
+                    loss)
+
+        for epoch in range(args.size_epochs):
+            losses = []
+            for batch in train_raw.iter_batches(args.batch_size, shuffle=True,
+                                                seed=epoch,
+                                                fragment_edges_only=True):
+                sparams, bn_state, opt_state, loss = size_step(
+                    sparams, bn_state, opt_state, device_batch(batch))
+                losses.append(float(loss))
+        print(f'[{task}] final train loss {np.mean(losses):.4f}', flush=True)
+        return predictor, sparams, bn_state
+
+    def eval_predictor(predictor, sparams, bn_state):
+        """Eval-mode (running-stat BN) and train-mode (batch-stat BN)
+        accuracies — the gap IS the round-2 diagnosis."""
+        preds, preds_tm, trues = [], [], []
+        for batch in val_ds.iter_batches(args.batch_size,
+                                         fragment_edges_only=True):
+            db = device_batch(batch)
+            preds.append(predictor.predict_sizes(sparams, db, bn_state))
+            out_tm, _ = predictor.forward(sparams, db, bn_state, train=True)
+            if predictor.task == 'classification':
+                ids = np.asarray(jnp.argmax(out_tm, axis=-1))
+                preds_tm.append(np.asarray(
+                    [predictor.id2size[i] for i in ids], np.int32))
+            elif predictor.task == 'ordinal':
+                from difflinker_tpu.models.size_gnn import \
+                    ordinal_prediction_to_label
+                ids = np.asarray(ordinal_prediction_to_label(out_tm))
+                preds_tm.append(np.asarray(
+                    [predictor.id2size[max(int(i), 0)] for i in ids],
+                    np.int32))
+            else:
+                preds_tm.append(np.asarray(jnp.round(out_tm[:, 0]), np.int32))
+            trues.append(np.asarray(batch['linker_mask'])[..., 0].sum(-1))
+        preds = np.concatenate(preds)
+        preds_tm = np.concatenate(preds_tm)
+        true_sizes = np.concatenate(trues).astype(np.int32)
+        return {
+            'acc': float((preds == true_sizes).mean()),
+            'acc_trainmode_bn': float((preds_tm == true_sizes).mean()),
+            'acc_pm1': float((np.abs(preds - true_sizes) <= 1).mean()),
+            'mae': float(np.abs(preds - true_sizes).mean()),
+        }, true_sizes
+
+    head_reports = {}
+    best = None
+    for task in args.heads.split(','):
+        predictor, sparams, bn_state = train_predictor(task)
+        rep, true_sizes = eval_predictor(predictor, sparams, bn_state)
+        head_reports[task] = rep
+        print(f'[{task}] {json.dumps(rep)}', flush=True)
+        if best is None or rep['acc'] > head_reports[best[0]]['acc']:
+            best = (task, predictor, sparams, bn_state)
+
     prior_sizes = np.asarray(
         DistributionNodes().sample(jax.random.PRNGKey(3), len(true_sizes)))
     majority = np.bincount(true_sizes).argmax()
     size_report = {
-        'predictor_acc': float((preds == true_sizes).mean()),
-        'predictor_acc_pm1': float((np.abs(preds - true_sizes) <= 1).mean()),
-        'predictor_mae': float(np.abs(preds - true_sizes).mean()),
+        'coupling': args.coupling,
+        'heads': head_reports,
+        'best_head': best[0],
+        'predictor_acc': head_reports[best[0]]['acc'],
+        'predictor_acc_pm1': head_reports[best[0]]['acc_pm1'],
+        'predictor_mae': head_reports[best[0]]['mae'],
         'majority_acc': float((true_sizes == majority).mean()),
         'prior_acc': float((prior_sizes == true_sizes).mean()),
         'prior_mae': float(np.abs(prior_sizes - true_sizes).mean()),
     }
     print('size predictor:', json.dumps(size_report), flush=True)
+    results = {'size_predictor': size_report}
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(results, f, indent=2)
+    if args.skip_diffusion:
+        return 0
 
-    # ---- 2. diffusion model ----------------------------------------------
+    task, predictor, sparams, bn_state = best
+
+    # ---- 2. diffusion model (wide recipe) --------------------------------
     cfg = ExperimentConfig(
         exp_name='size_conditioned_demo',
         model=ModelConfig(in_node_nf=8, context_node_nf=2,
                           hidden_nf=args.hidden, n_layers=args.layers,
                           norm_constant=1e-6),
-        diffusion=DiffusionConfig(timesteps=100),
+        diffusion=DiffusionConfig(timesteps=args.timesteps),
         data=DataConfig(),
         train=TrainConfig(lr=4e-4, batch_size=args.batch_size,
                           n_stability_samples=1))
@@ -156,7 +200,8 @@ def main():
                       decay_steps=args.epochs * steps, warmup_steps=5 * steps)
     state = trainer.init_state(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
-    print(f'training diffusion model ({args.epochs} epochs)...', flush=True)
+    print(f'training diffusion model ({args.epochs} epochs, '
+          f'H={args.hidden}, T={args.timesteps})...', flush=True)
     for epoch in range(args.epochs):
         key, k = jax.random.split(key)
         state, m = trainer.fit_epoch_scanned(state, train_ds, args.batch_size,
@@ -166,13 +211,13 @@ def main():
                   f'({time.time() - t0:.0f}s)', flush=True)
 
     # ---- 3. size-conditioned sampling sweep ------------------------------
-    sampler = LinkerSampler(cfg, state['params'], trainer.edm)
+    sampler = LinkerSampler(cfg, state['params'], trainer.edm,
+                            pad_batch_to=args.batch_size)
     specs = {
         'ground_truth': 'ground_truth',
         'predictor': size_prediction_fn(predictor, sparams, bn_state),
         'prior': 'prior',
     }
-    results = {'size_predictor': size_report}
     for name, spec in specs.items():
         m = sample_and_analyze(
             sampler, val_ds.iter_batches(args.batch_size),
@@ -184,6 +229,9 @@ def main():
         print(f'{name}: validity={row.get("validity")} '
               f'v+c={row.get("validity_and_connectivity")} '
               f'uniqueness={row.get("uniqueness")}', flush=True)
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(results, f, indent=2)
 
     results['elapsed_s'] = round(time.time() - t0, 1)
     if args.out:

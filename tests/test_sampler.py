@@ -157,11 +157,19 @@ def test_size_prediction_fn_matches_fragment_edges_collate():
     got = size_prediction_fn(predictor, params, bn_state)(std)
     np.testing.assert_array_equal(got, want)
 
-    # and it feeds straight into the sampler's size resolution
-    sizes = resolve_linker_sizes(
-        size_prediction_fn(predictor, params, bn_state), std,
-        jax.random.PRNGKey(1))
-    np.testing.assert_array_equal(sizes, want)
+    # Through the sampler's size resolution a PRNG key is threaded, and the
+    # classifier head SAMPLES from softmax(logits) (reference sample.py:71-74)
+    # instead of taking the argmax — deterministic per key, diverse across
+    # keys, always landing on trained size classes.
+    fn = size_prediction_fn(predictor, params, bn_state)
+    sizes1 = resolve_linker_sizes(fn, std, jax.random.PRNGKey(1))
+    sizes1b = resolve_linker_sizes(fn, std, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(sizes1, sizes1b)
+    valid_sizes = set(constants.ZINC_TRAIN_LINKER_ID2SIZE)
+    assert set(int(s) for s in sizes1) <= set(int(v) for v in valid_sizes)
+    draws = np.stack([resolve_linker_sizes(fn, std, jax.random.PRNGKey(k))
+                      for k in range(2, 12)])
+    assert (draws != draws[0]).any(), 'categorical draws never varied'
 
 
 def test_respaced_sampling(setup):
@@ -259,3 +267,96 @@ def test_update_params_keeps_compiled_chains(setup):
     b = sampler.sample(batch, jax.random.PRNGKey(8), size_spec=5)
     assert len(sampler._compiled) == n_compiled  # no recompilation
     assert not np.allclose(a['positions'], b['positions'])  # new weights used
+
+
+def test_subsequence_respacing_exact(setup):
+    """Exact-subsequence respacing contract (VERDICT r2 next-round #2):
+
+    * at steps == trained T the respaced config is bitwise the trained
+      schedule (same gamma table, same chain output);
+    * below it, every gamma the loop reads is an entry of the TRAINED
+      table at index round(t * trained_T) — the reference's own n_steps
+      override semantics (sample.py:94-95; src/noise.py:126-128) — not a
+      rebuilt-T' schedule (which provably differs: clip_noise_schedule
+      cumprods per-step ratios, src/noise.py:7-19)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from difflinker_tpu.cli.common import respace_config
+    from difflinker_tpu.diffusion.edm import make_edm as mk
+
+    cfg, params, edm, batch = setup
+    T = cfg.diffusion.timesteps  # 10
+
+    # steps == T: bitwise identity
+    cfg_same = respace_config(cfg, T, 'subsequence')
+    assert cfg_same.diffusion.schedule_timesteps == T
+    edm_same = mk(cfg_same.model, cfg_same.diffusion)
+    np.testing.assert_array_equal(np.asarray(edm_same.gamma_table),
+                                  np.asarray(edm.gamma_table))
+    s1 = LinkerSampler(cfg, params)
+    s2 = LinkerSampler(cfg_same, params)
+    a = s1.sample(batch, jax.random.PRNGKey(5), size_spec=5)
+    b = s2.sample(batch, jax.random.PRNGKey(5), size_spec=5)
+    np.testing.assert_array_equal(a['positions'], b['positions'])
+    np.testing.assert_array_equal(a['one_hot'], b['one_hot'])
+
+    # steps < T: gammas come from the trained table's subsequence
+    cfg_sub = respace_config(cfg, 5, 'subsequence')
+    assert cfg_sub.diffusion.timesteps == 5
+    assert cfg_sub.diffusion.schedule_timesteps == T
+    edm_sub = mk(cfg_sub.model, cfg_sub.diffusion)
+    np.testing.assert_array_equal(np.asarray(edm_sub.gamma_table),
+                                  np.asarray(edm.gamma_table))
+    table = np.asarray(edm.gamma_table)
+    for i in range(6):  # loop fractions i/5, i = 0..5
+        t = jnp.full((1, 1), i / 5.0)
+        got = np.asarray(edm_sub.gamma(params, t))[0, 0]
+        want = table[int(round(i / 5 * T))]
+        np.testing.assert_array_equal(got, want)
+
+    # rebuild mode differs (legacy): gamma_{T'} is NOT the subsequence
+    cfg_rb = respace_config(cfg, 5, 'rebuild')
+    edm_rb = mk(cfg_rb.model, cfg_rb.diffusion)
+    rb = np.asarray(edm_rb.gamma_table)
+    sub = table[[int(round(i / 5 * T)) for i in range(6)]]
+    assert rb.shape == (6,)
+    assert not np.allclose(rb, sub), 'rebuild unexpectedly equals subsequence'
+
+    # respaced chains still satisfy the sampling contract
+    out = LinkerSampler(cfg_sub, params).sample(
+        batch, jax.random.PRNGKey(6), size_spec=5)
+    assert not out['nan_flag'].any()
+    assert np.isfinite(out['positions']).all()
+
+
+def test_inpainting_resampling_knob():
+    """InpaintingEDM resample_steps (RePaint-style harmonisation): r=1 is
+    bitwise the reference formulation; r>1 runs, stays finite, keeps the
+    one-hot contract, and changes the trajectory."""
+    import dataclasses
+    import jax.numpy as jnp
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    from difflinker_tpu.data.collate import collate
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6, centering=True),
+        diffusion=DiffusionConfig(timesteps=6, inpainting=True),
+        data=DataConfig(), train=TrainConfig())
+    edm1 = make_edm(cfg.model, cfg.diffusion)
+    params = edm1.init_params(jax.random.PRNGKey(0))
+    batch = collate(synthetic_molecule_dataset(3, seed=2).samples)
+
+    def run(edm, cfg_run):
+        s = LinkerSampler(cfg_run, params, edm)
+        return s.sample(batch, jax.random.PRNGKey(3))
+
+    out1 = run(edm1, cfg)
+    cfg3 = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, resample_steps=3))
+    out3 = run(make_edm(cfg3.model, cfg3.diffusion), cfg3)
+    assert not out3['nan_flag'].any()
+    assert np.isfinite(out3['positions']).all()
+    assert set(np.unique(out3['one_hot'].sum(-1))) <= {0.0, 1.0}
+    # resampling changes the trajectory
+    assert np.abs(out1['positions'] - out3['positions']).max() > 1e-4

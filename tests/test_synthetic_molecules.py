@@ -79,3 +79,102 @@ def test_coupled_linker_size_rule():
     sizes = [seen[c] for c in counts]
     assert sizes == sorted(sizes)  # monotone
     assert len(set(sizes)) >= 3    # spans several classes
+
+
+def test_multifrag_generator_properties():
+    """k-fragment samples: k disconnected fragment components, one connected
+    molecule, GEOM vocab, >=2 anchors all on fragment atoms (the GEOM
+    multifrag semantics, reference data/geom/generate_geom_multifrag.py)."""
+    import numpy as np
+    from difflinker_tpu.chem.bonds import bond_order_matrix
+    from difflinker_tpu.data.synthetic_molecules import synthetic_multifrag_dataset
+
+    def n_components(adj):
+        n = adj.shape[0]
+        seen = np.zeros(n, bool)
+        comp = 0
+        for start in range(n):
+            if seen[start]:
+                continue
+            comp += 1
+            stack = [start]
+            seen[start] = True
+            while stack:
+                i = stack.pop()
+                for j in np.where(adj[i])[0]:
+                    if not seen[j]:
+                        seen[j] = True
+                        stack.append(j)
+        return comp
+
+    for topology in ('chain', 'star'):
+        ds = synthetic_multifrag_dataset(
+            8, seed=3, n_fragments=(3, 4), topology=topology)
+        for s in ds.samples:
+            assert s['one_hot'].shape[1] == 9  # GEOM vocabulary
+            types = s['one_hot'].argmax(1)
+            adj = bond_order_matrix(s['positions'], types) > 0
+            assert n_components(adj) == 1  # whole molecule connected
+            fidx = np.where(s['fragment_mask'] > 0)[0]
+            k = n_components(adj[np.ix_(fidx, fidx)])
+            assert 3 <= k <= 4  # fragments are k disconnected pieces
+            # fragments-first layout; anchors on fragment atoms only
+            assert (np.diff(fidx) == 1).all() and fidx[0] == 0
+            assert s['anchors'].sum() >= 2 * (k - 1)
+            assert (s['anchors'] * s['fragment_mask'] == s['anchors']).all()
+            # linker segments: k-1 pieces for chains/stars
+            lidx = np.where(s['linker_mask'] > 0)[0]
+            assert n_components(adj[np.ix_(lidx, lidx)]) == k - 1
+
+
+def test_multifrag_templates_and_sampler():
+    """create_templates_for_linker_generation + LinkerSampler handle k>2
+    fragments with multi-segment linker masks (VERDICT r2 next-round #1)."""
+    import jax
+    import numpy as np
+    from difflinker_tpu.config import (DataConfig, DatasetFamily,
+                                       DiffusionConfig, ExperimentConfig,
+                                       ModelConfig, TrainConfig)
+    from difflinker_tpu.data.collate import (
+        collate, create_templates_for_linker_generation)
+    from difflinker_tpu.data.synthetic_molecules import synthetic_multifrag_dataset
+    from difflinker_tpu.sample.sampler import LinkerSampler
+
+    ds = synthetic_multifrag_dataset(4, seed=5, n_fragments=(3, 5))
+    batch = collate(ds.samples)
+    sizes = batch['linker_mask'][..., 0].sum(-1).astype(int)
+
+    tmpl = create_templates_for_linker_generation(batch, sizes)
+    n_frag = batch['fragment_mask'][..., 0].sum(-1)
+    # fragment rows survive in order; linker rows re-initialised at the end
+    np.testing.assert_array_equal(
+        tmpl['fragment_mask'][..., 0].sum(-1), n_frag)
+    np.testing.assert_array_equal(tmpl['linker_mask'][..., 0].sum(-1), sizes)
+    for i in range(4):
+        nf = int(n_frag[i])
+        np.testing.assert_array_equal(tmpl['one_hot'][i, :nf],
+                                      batch['one_hot'][i, :nf])
+        np.testing.assert_array_equal(tmpl['anchors'][i, :nf],
+                                      batch['anchors'][i, :nf])
+
+    # the GEOM recipe: 9-type vocab, no anchors context, CoM = fragments
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=9, context_node_nf=1, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=4),
+        data=DataConfig(family=DatasetFamily.GEOM),
+        train=TrainConfig(anchors_context=False))
+    edm_params = __import__('difflinker_tpu.diffusion.edm',
+                            fromlist=['make_edm']).make_edm(
+        cfg.model, cfg.diffusion).init_params(jax.random.PRNGKey(0))
+    sampler = LinkerSampler(cfg, edm_params)
+    out = sampler.sample(batch, jax.random.PRNGKey(1),
+                         size_spec='ground_truth')
+    assert not out['nan_flag'].any()
+    np.testing.assert_array_equal(
+        out['linker_mask'][..., 0].sum(-1), sizes)
+    # all k fragments' identities and coordinates pass through frozen
+    fm = out['fragment_mask'][..., 0].astype(bool)
+    np.testing.assert_array_equal(
+        out['one_hot'][fm],
+        batch['one_hot'][batch['fragment_mask'][..., 0].astype(bool)])

@@ -196,3 +196,70 @@ def test_fit_epoch_scanned():
         losses.append(m['loss'])
     assert losses[-1] < losses[0]
     assert int(state['step']) == 8 * packed.num_steps(8)
+
+
+def test_wrap_pad_zero_weight_semantics():
+    """wrap_pad rows carry sample_weight 0 and contribute exactly nothing to
+    the loss/gradient (VERDICT r2 weak #6).
+
+    A literal padded-vs-unpadded bitwise comparison is not well-defined: the
+    per-sample t/eps draws are shape-dependent under JAX PRNG (randint over
+    (8,1) vs (5,1) gives different values for the shared rows). The actual
+    invariant is pinned instead: (a) the CONTENT of weight-0 rows is
+    irrelevant bitwise, and (b) the weighted mean equals the mean over the
+    real rows (checked analytically via one-hot weights)."""
+    from difflinker_tpu.train.trainer import wrap_pad
+
+    cfg = _cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _batches(n=1, batch_size=5)[0]
+    sub = {k: np.asarray(batch[k]) for k in trainer.BATCH_KEYS if k in batch}
+
+    padded, pad = wrap_pad(sub, 8)
+    assert pad == 3
+    np.testing.assert_array_equal(padded['sample_weight'],
+                                  [1, 1, 1, 1, 1, 0, 0, 0])
+
+    key = jax.random.PRNGKey(7)
+
+    def grads_of(b):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        g, terms = jax.grad(
+            lambda p: trainer.loss_fn(p, jb, key, training=True),
+            has_aux=True)(state['params'])
+        return g, terms
+
+    # (a) garbage in the weight-0 rows changes nothing, bitwise
+    garbage = {k: np.array(v) for k, v in padded.items()}
+    rng = np.random.default_rng(0)
+    for k in ('positions', 'one_hot'):
+        garbage[k][5:] = (rng.standard_normal(garbage[k][5:].shape)
+                          .astype(np.float32) * garbage['atom_mask'][5:])
+    g1, t1 = grads_of(padded)
+    g2, t2 = grads_of(garbage)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(float(t1['loss']), float(t2['loss']))
+
+    # (b) weighted mean == mean of the selected rows: one-hot weights give
+    # per-sample losses; their average must equal the [1,1,1,1,1,0,0,0] loss
+    per_sample = []
+    for i in range(5):
+        b = dict(padded)
+        w = np.zeros(8, np.float32)
+        w[i] = 1.0
+        b['sample_weight'] = w
+        per_sample.append(float(grads_of(b)[1]['l2_loss']))
+    np.testing.assert_allclose(float(t1['l2_loss']),
+                               np.mean(per_sample), rtol=1e-5)
+
+    # all-ones weight == no weight at all
+    unweighted = {k: v for k, v in padded.items() if k != 'sample_weight'}
+    ones = dict(padded)
+    ones['sample_weight'] = np.ones(8, np.float32)
+    ga, _ = grads_of(unweighted)
+    gb, _ = grads_of(ones)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
