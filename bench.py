@@ -95,10 +95,63 @@ def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
         [None, jnp.asarray(ctx)]
 
 
+def _train_throughput(mcfg, B, N, make_batch, runs=3):
+    """Full jitted train step (loss + grads + AdamW) timings on one chip."""
+    import jax
+    import jax.numpy as jnp
+    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                       ExperimentConfig, PocketMode,
+                                       TrainConfig)
+    from difflinker_tpu.train.trainer import Trainer
+
+    has_pocket = mcfg.context_node_nf == 3
+    cfg = ExperimentConfig(
+        model=mcfg, diffusion=DiffusionConfig(timesteps=T),
+        data=DataConfig(pocket_mode=PocketMode.FULL if has_pocket
+                        else PocketMode.NONE),
+        train=TrainConfig())
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(B, N)
+    step = trainer.compiled_train_step()
+    state, m = step(state, batch, jax.random.PRNGKey(1), jnp.inf)
+    jax.block_until_ready(m['loss'])
+    times = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i), jnp.inf)
+        jax.block_until_ready(m['loss'])
+        times.append(time.perf_counter() - t0)
+    return B / min(times), min(times)
+
+
+def _zinc_train_batch(B, N, n_frag=14):
+    import jax.numpy as jnp
+    from difflinker_tpu.ops.geometry import fc_edge_mask
+    x, h, node_mask, frag, link, em, ctx = _zinc_inputs(B, N, n_frag)
+    anchors = jnp.zeros_like(frag).at[:, [2, n_frag - 1]].set(1.0)
+    return {'positions': x, 'one_hot': h, 'atom_mask': node_mask,
+            'fragment_mask': frag, 'linker_mask': link, 'anchors': anchors,
+            'edge_mask': em}
+
+
+def _pocket_train_batch(B, N, n_lig=40, n_pocket=160):
+    import jax.numpy as jnp
+    x, h, node_mask, frag, link, _, ctx = _pocket_inputs(B, N, n_lig,
+                                                         n_pocket)
+    frag_only = ctx[..., 1:2]
+    pocket = ctx[..., 2:3]
+    anchors = ctx[..., 0:1]
+    return {'positions': x, 'one_hot': h, 'atom_mask': node_mask,
+            'fragment_mask': frag, 'linker_mask': link, 'anchors': anchors,
+            'fragment_only_mask': frag_only, 'pocket_mask': pocket}
+
+
 def main():
     import jax
 
-    from difflinker_tpu.config import DiffusionConfig, GraphType, ModelConfig
+    from difflinker_tpu.config import (DiffusionConfig, GraphType,
+                                       ModelConfig, resolve_remat)
     from difflinker_tpu.diffusion.edm import make_edm
     from difflinker_tpu.ops import flops as flops_lib
 
@@ -144,6 +197,18 @@ def main():
     r_lps, r_dt = _chain_throughput(edm50, params, _zinc_inputs(B, N), B)
     r_fl = flops_lib.chain_flops(B, N, 50, zcfg)
 
+    # -- training lines: full fused step, auto-remat policy ------------------
+    # (VERDICT r3: train MFU per shape; remat='auto' drops the per-block
+    # checkpoint exactly where the backward fits HBM — config.resolve_remat)
+    Bt, Nt = 128, 32
+    t_lps, t_dt = _train_throughput(zcfg, Bt, Nt, _zinc_train_batch)
+    t_remat = resolve_remat(zcfg, (Bt, Nt))
+    t_fl = flops_lib.train_step_flops(Bt, Nt, zcfg, remat=t_remat)
+    pt_lps, pt_dt = _train_throughput(pcfg, Bp, Np, _pocket_train_batch,
+                                      runs=2)
+    pt_remat = resolve_remat(pcfg, (Bp, Np))
+    pt_fl = flops_lib.train_step_flops(Bp, Np, pcfg, remat=pt_remat)
+
     print(json.dumps({
         'metric': f'linker sampling throughput (T={T}, B={B}, N={N}, '
                   f'ZINC 8x128 EGNN bf16, {kind})',
@@ -170,6 +235,22 @@ def main():
             'unit': 'linkers/sec/chip',
             'vs_baseline': round(r_lps / REFERENCE_LINKERS_PER_SEC, 1),
             'mfu': round(r_fl / r_dt / peak16, 4) if peak16 else None,
+        },
+        'train': {
+            'zinc': {
+                'metric': f'ZINC train step (B={Bt}, N={Nt}, 8x128 bf16, '
+                          f'remat={"on" if t_remat else "off(auto)"})',
+                'value': round(t_lps, 1),
+                'unit': 'mol/sec/chip',
+                'mfu': round(t_fl / t_dt / peak16, 4) if peak16 else None,
+            },
+            'pocket': {
+                'metric': f'pocket train step (B={Bp}, N={Np}, 6x128 bf16 '
+                          f'4A, remat={"on" if pt_remat else "off(auto)"})',
+                'value': round(pt_lps, 1),
+                'unit': 'mol/sec/chip',
+                'mfu': round(pt_fl / pt_dt / peak16, 4) if peak16 else None,
+            },
         },
     }))
     return 0

@@ -97,9 +97,10 @@ def chain_flops(B: int, N: int, T: int, cfg: ModelConfig) -> float:
     return (T + 1) * egnn_forward_flops(B, N, cfg)
 
 
-def train_step_flops(B: int, N: int, cfg: ModelConfig) -> float:
+def train_step_flops(B: int, N: int, cfg: ModelConfig,
+                     remat: bool = True) -> float:
     """Forward + backward of the EDM loss. Backward of a matmul-dominated
     graph costs ~2x the forward (two grad matmuls per forward matmul); remat
-    of each block re-runs its forward once more -> ~4x forward total when
-    remat is on (the trainer default)."""
-    return 4 * egnn_forward_flops(B, N, cfg)
+    of each block re-runs its forward once more -> ~4x forward total with
+    remat, ~3x without (config.resolve_remat decides per shape)."""
+    return (4 if remat else 3) * egnn_forward_flops(B, N, cfg)
