@@ -263,3 +263,28 @@ def test_wrap_pad_zero_weight_semantics():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_gnn_ablation_trains():
+    """The non-equivariant GNN ablation (model='gnn_dynamics',
+    src/egnn.py:241-278) trains end-to-end, not just parity-checks: loss
+    decreases over a few epochs on the synthetic set (VERDICT r2 weak #7)."""
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=32,
+                          n_layers=2, norm_constant=1e-6,
+                          model='gnn_dynamics'),
+        diffusion=DiffusionConfig(timesteps=30),
+        data=DataConfig(),
+        train=TrainConfig(lr=1e-3, batch_size=8),
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batches = _batches(n=4)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(5):
+        state, metrics = trainer.fit_epoch(state, batches, key)
+        key, _ = jax.random.split(key)
+        losses.append(metrics['l2_loss'])
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses[-1])
