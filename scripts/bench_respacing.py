@@ -57,8 +57,21 @@ def main():
     with open(args.params + '.config.json') as f:
         mc = json.load(f)
     pocket = mc.get('pocket', False)
+    multifrag = mc.get('n_fragments') is not None  # GEOM multifrag recipe
 
     def make_cfg(T):
+        if multifrag:
+            # demo_learning_multifrag: 9-type vocab, fragment-flag-only
+            # context (no anchors), CoM=fragments
+            return ExperimentConfig(
+                exp_name='respacing_study',
+                model=ModelConfig(in_node_nf=9, context_node_nf=1,
+                                  hidden_nf=mc['hidden'],
+                                  n_layers=mc['layers'], norm_constant=1e-6),
+                diffusion=DiffusionConfig(timesteps=T),
+                data=DataConfig(family=DatasetFamily.GEOM),
+                train=TrainConfig(n_stability_samples=1,
+                                  anchors_context=False))
         return ExperimentConfig(
             exp_name='respacing_study',
             model=ModelConfig(
@@ -78,8 +91,15 @@ def main():
     params_like = make_edm(cfg0.model, cfg0.diffusion).init_params(
         jax.random.PRNGKey(0))
     params = load_params_npz(args.params, params_like)
-    val_ds = synthetic_molecule_dataset(
-        args.val_size, seed=1, **({'pocket_range': (8, 16)} if pocket else {}))
+    if multifrag:
+        from difflinker_tpu.data.synthetic_molecules import \
+            synthetic_multifrag_dataset
+        val_ds = synthetic_multifrag_dataset(
+            args.val_size, seed=1, n_fragments=tuple(mc['n_fragments']))
+    else:
+        val_ds = synthetic_molecule_dataset(
+            args.val_size, seed=1,
+            **({'pocket_range': (8, 16)} if pocket else {}))
 
     from difflinker_tpu.cli.common import respace_config
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Backward-path anatomy (VERDICT r2 next-round #4): time forward-only vs
+forward+grad vs the full fused train step at the ZINC and pocket shapes,
+with remat forced on/off and the auto policy's choice, and report MFU with
+honest FLOPs accounting (3x forward for a remat-free backward, 4x with
+remat — ops/flops.train_step_flops).
+
+    python scripts/bench_train_breakdown.py --out docs/train_breakdown.json
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(mcfg, B, N, make_batch, runs=3):
+    import jax
+    import jax.numpy as jnp
+    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                       ExperimentConfig, PocketMode,
+                                       TrainConfig)
+    from difflinker_tpu.train.trainer import Trainer
+
+    has_pocket = mcfg.context_node_nf == 3
+    cfg = ExperimentConfig(
+        model=mcfg, diffusion=DiffusionConfig(timesteps=500),
+        data=DataConfig(pocket_mode=PocketMode.FULL if has_pocket
+                        else PocketMode.NONE),
+        train=TrainConfig())
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(B, N)
+    key = jax.random.PRNGKey(1)
+
+    fwd = jax.jit(lambda p, b, k: trainer.loss_fn(p, b, k, training=True)[0])
+    grad = jax.jit(lambda p, b, k: jax.grad(
+        lambda q: trainer.loss_fn(q, b, k, training=True)[0])(p))
+    step = trainer.compiled_train_step()
+
+    def clock(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return min(times) * 1e3  # ms
+
+    t_fwd = clock(fwd, state['params'], batch, key)
+    t_grad = clock(grad, state['params'], batch, key)
+    t_step = clock(lambda s: step(s, batch, key, jnp.inf)[1]['loss'], state)
+    return {'fwd_ms': round(t_fwd, 2), 'grad_ms': round(t_grad, 2),
+            'step_ms': round(t_step, 2),
+            'bwd_over_fwd': round((t_grad - t_fwd) / t_fwd, 2),
+            'optimizer_ms': round(t_step - t_grad, 2)}
+
+
+def main():
+    import jax
+    import bench
+    from difflinker_tpu.config import GraphType, ModelConfig, resolve_remat
+    from difflinker_tpu.ops import flops as flops_lib
+
+    p = argparse.ArgumentParser()
+    p.add_argument('--out', default=None)
+    p.add_argument('--runs', type=int, default=3)
+    args = p.parse_args()
+
+    kind = jax.devices()[0].device_kind
+    report = {'device': kind, 'shapes': {}}
+    shapes = [
+        ('zinc_bf16', dict(in_node_nf=8, context_node_nf=2, hidden_nf=128,
+                           n_layers=8, inv_sublayers=2, norm_constant=1e-6,
+                           dtype='bfloat16'), 128, 32, bench._zinc_train_batch),
+        ('zinc_fp32', dict(in_node_nf=8, context_node_nf=2, hidden_nf=128,
+                           n_layers=8, inv_sublayers=2, norm_constant=1e-6,
+                           dtype='float32'), 128, 32, bench._zinc_train_batch),
+        ('zinc_bf16_B512', dict(in_node_nf=8, context_node_nf=2,
+                                hidden_nf=128, n_layers=8, inv_sublayers=2,
+                                norm_constant=1e-6, dtype='bfloat16'),
+         512, 32, bench._zinc_train_batch),
+        ('pocket_bf16', dict(in_node_nf=9, context_node_nf=3, hidden_nf=128,
+                             n_layers=6, inv_sublayers=2, norm_constant=1e-6,
+                             graph_type=GraphType.A4, dtype='bfloat16'),
+         32, 256, bench._pocket_train_batch),
+    ]
+    for name, kw, B, N, mk in shapes:
+        row = {}
+        for remat in ('auto', True, False):
+            mcfg = ModelConfig(remat=remat, **kw)
+            decided = resolve_remat(mcfg, (B, N))
+            label = f'remat={remat}' + (f'({decided})' if remat == 'auto'
+                                        else '')
+            try:
+                m = measure(mcfg, B, N, mk, runs=args.runs)
+            except Exception as e:  # OOM expected for some forced-off combos
+                row[label] = {'error': str(e)[:120]}
+                continue
+            fl = flops_lib.train_step_flops(B, N, mcfg, remat=decided
+                                            if remat == 'auto' else remat)
+            peak = flops_lib.peak_flops(kind, mcfg.dtype)
+            m['mol_per_s'] = round(B / (m['step_ms'] / 1e3), 1)
+            if peak:
+                m['mfu'] = round(fl / (m['step_ms'] / 1e3) / peak, 4)
+            row[label] = m
+            print(name, label, json.dumps(m), flush=True)
+        report['shapes'][name] = row
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
