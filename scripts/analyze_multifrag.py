@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Per-fragment-count breakdown of the multifrag model: validity and
+valid+connected grouped by k (number of fragments), plus the implied
+per-junction success rate — V+C for a k-fragment molecule requires all k-1
+linker segments to connect, so p_junction ≈ V+C^(1/(k-1)).
+
+    python scripts/analyze_multifrag.py --params /tmp/multifrag_params.npz \
+        --out docs/demo_geom_multifrag_by_k.json
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--params', required=True)
+    p.add_argument('--val-size', type=int, default=256)
+    p.add_argument('--n-samples', type=int, default=2)
+    p.add_argument('--steps', type=int, default=None,
+                   help='respace the chain (subsequence mode)')
+    p.add_argument('--out', default=None)
+    args = p.parse_args()
+
+    import jax
+    from difflinker_tpu.chem import metrics
+    from difflinker_tpu.chem.molgraph import build_molecules
+    from difflinker_tpu.cli.common import respace_config
+    from difflinker_tpu.config import (DataConfig, DatasetFamily,
+                                       DiffusionConfig, ExperimentConfig,
+                                       ModelConfig, TrainConfig)
+    from difflinker_tpu.data.synthetic_molecules import synthetic_multifrag_dataset
+    from difflinker_tpu.diffusion.edm import make_edm
+    from difflinker_tpu.io.checkpoints import load_params_npz
+    from difflinker_tpu.sample.sampler import LinkerSampler
+
+    with open(args.params + '.config.json') as f:
+        mc = json.load(f)
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=9, context_node_nf=1,
+                          hidden_nf=mc['hidden'], n_layers=mc['layers'],
+                          norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=mc['timesteps']),
+        data=DataConfig(family=DatasetFamily.GEOM),
+        train=TrainConfig(anchors_context=False, n_stability_samples=1))
+    if args.steps:
+        cfg = respace_config(cfg, args.steps, 'subsequence')
+    params = load_params_npz(
+        args.params,
+        make_edm(cfg.model, cfg.diffusion).init_params(jax.random.PRNGKey(0)))
+
+    val_ds = synthetic_multifrag_dataset(
+        args.val_size, seed=1, n_fragments=tuple(mc['n_fragments']))
+    sampler = LinkerSampler(cfg, params, pad_batch_to=64)
+
+    by_k = {}
+    for b_idx, batch in enumerate(val_ds.iter_batches(64)):
+        names = list(batch['name'])
+        true_mols = build_molecules(batch['one_hot'], batch['positions'],
+                                    batch['atom_mask'])
+        for s_idx in range(args.n_samples):
+            out = sampler.sample(
+                batch, jax.random.fold_in(jax.random.PRNGKey(7),
+                                          b_idx * 100 + s_idx))
+            preds = build_molecules(out['one_hot'], out['positions'],
+                                    out['node_mask'])
+            for i, pred in enumerate(preds):
+                if out['nan_flag'][i] or not metrics.is_valid(true_mols[i]):
+                    continue
+                k = int(names[i].split('_')[0].replace('synthmf', ''))
+                d = by_k.setdefault(k, {'n': 0, 'valid': 0, 'vc': 0})
+                d['n'] += 1
+                v = metrics.is_valid(pred)
+                d['valid'] += int(v)
+                d['vc'] += int(v and metrics.is_connected(pred))
+
+    report = {'sample_T': args.steps or mc['timesteps'],
+              'trained_T': mc['timesteps'], 'by_k': {}}
+    tot_n = tot_v = tot_vc = 0
+    for k in sorted(by_k):
+        d = by_k[k]
+        vc_rate = d['vc'] / d['n']
+        report['by_k'][str(k)] = {
+            'n': d['n'],
+            'validity': round(d['valid'] / d['n'], 4),
+            'valid_and_connected': round(vc_rate, 4),
+            'per_junction_success': round(vc_rate ** (1 / (k - 1)), 4)
+            if vc_rate > 0 else 0.0,
+        }
+        tot_n += d['n']
+        tot_v += d['valid']
+        tot_vc += d['vc']
+    report['overall'] = {'n': tot_n,
+                         'validity': round(tot_v / tot_n, 4),
+                         'valid_and_connected': round(tot_vc / tot_n, 4)}
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
