@@ -41,13 +41,18 @@ def main():
 
     with open(args.params + '.config.json') as f:
         mc = json.load(f)
+    from difflinker_tpu.config import CenterOfMass
+    anchors = bool(mc.get('given_anchors'))
     cfg = ExperimentConfig(
-        model=ModelConfig(in_node_nf=9, context_node_nf=1,
+        model=ModelConfig(in_node_nf=9, context_node_nf=2 if anchors else 1,
                           hidden_nf=mc['hidden'], n_layers=mc['layers'],
                           norm_constant=1e-6),
         diffusion=DiffusionConfig(timesteps=mc['timesteps']),
         data=DataConfig(family=DatasetFamily.GEOM),
-        train=TrainConfig(anchors_context=False, n_stability_samples=1))
+        train=TrainConfig(anchors_context=anchors,
+                          center_of_mass=(CenterOfMass.ANCHORS if anchors
+                                          else CenterOfMass.FRAGMENTS),
+                          n_stability_samples=1))
     if args.steps:
         cfg = respace_config(cfg, args.steps, 'subsequence')
     params = load_params_npz(

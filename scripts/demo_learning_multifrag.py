@@ -33,6 +33,10 @@ def main():
     p.add_argument('--timesteps', type=int, default=500)
     p.add_argument('--n-fragments', type=str, default='3,5')
     p.add_argument('--save-params', type=str, default=None)
+    p.add_argument('--given-anchors', action='store_true',
+                   help='the geom_difflinker_given_anchors recipe: anchors '
+                        'in the context, CoM=anchors (reference '
+                        'configs/geom_difflinker_given_anchors.yml)')
     args = p.parse_args()
 
     import jax
@@ -45,17 +49,25 @@ def main():
     from difflinker_tpu.train.evaluation import sample_and_analyze
     from difflinker_tpu.train.trainer import Trainer
 
+    from difflinker_tpu.config import CenterOfMass
     kmin, kmax = (int(v) for v in args.n_fragments.split(','))
-    # the GEOM recipe: no anchors channel -> context = fragment flag only
+    # default GEOM recipe: no anchors channel -> context = fragment flag
+    # only, CoM=fragments; --given-anchors switches to the
+    # geom_difflinker_given_anchors recipe (anchors channel, CoM=anchors)
     cfg = ExperimentConfig(
         exp_name='geom_multifrag_demo',
-        model=ModelConfig(in_node_nf=9, context_node_nf=1,
+        model=ModelConfig(in_node_nf=9,
+                          context_node_nf=2 if args.given_anchors else 1,
                           hidden_nf=args.hidden, n_layers=args.layers,
                           norm_constant=1e-6),
         diffusion=DiffusionConfig(timesteps=args.timesteps),
         data=DataConfig(family=DatasetFamily.GEOM),
         train=TrainConfig(lr=args.lr, batch_size=args.batch_size,
-                          anchors_context=False, n_stability_samples=1))
+                          anchors_context=args.given_anchors,
+                          center_of_mass=(CenterOfMass.ANCHORS
+                                          if args.given_anchors
+                                          else CenterOfMass.FRAGMENTS),
+                          n_stability_samples=1))
 
     print(f'generating {args.train_size}+{args.val_size} synthetic '
           f'{kmin}-{kmax}-fragment molecules...', flush=True)
@@ -116,7 +128,8 @@ def main():
         with open(args.save_params + '.config.json', 'w') as f:
             json.dump({'hidden': args.hidden, 'layers': args.layers,
                        'timesteps': args.timesteps,
-                       'n_fragments': [kmin, kmax]}, f)
+                       'n_fragments': [kmin, kmax],
+                       'given_anchors': args.given_anchors}, f)
         print(f'saved params to {args.save_params}', flush=True)
     first, last = results[0], results[-1]
     best = max(results, key=lambda r: r['validity_and_connectivity'])
