@@ -37,6 +37,10 @@ def build_argparser():
                    help='SizeClassifier .ckpt for learned size prediction')
     p.add_argument('--n-samples', type=int, default=5)
     p.add_argument('--steps', type=int, default=None)
+    p.add_argument('--resample-steps', type=int, default=1,
+                   help='inpainting models only: RePaint-style repeats per '
+                        'reverse step (harmonises generated vs replaced '
+                        'parts; chain cost scales linearly)')
     p.add_argument('--respace-mode', type=str, default='subsequence',
                    choices=['subsequence', 'rebuild'],
                    help='subsequence: gamma from the trained grid (exact); '
@@ -82,6 +86,14 @@ def main(argv=None):
     common.enable_compilation_cache()
     cfg, params = load_model(args)
     cfg = common.respace_config(cfg, args.steps, args.respace_mode)
+    if args.resample_steps > 1:
+        import dataclasses
+        if not cfg.diffusion.inpainting:
+            raise SystemExit('--resample-steps applies to inpainting '
+                             '(replace-inpainting) models only')
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, resample_steps=args.resample_steps))
     is_geom = cfg.data.is_geom
     sample = fragment_sample_dict(args, is_geom)
     batch = collate([dict(sample) for _ in range(args.n_samples)])
