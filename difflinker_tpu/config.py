@@ -153,6 +153,13 @@ class DiffusionConfig:
     # (src/edm.py:568-598). Inference-only; ignored by the masked EDM whose
     # fragments are frozen exactly. Chain cost scales linearly with it.
     resample_steps: int = 1
+    # Final-decode mode for p(x,h|z0): 'draw' adds the sigma_0-scaled noise
+    # (reference src/edm.py:210-235 semantics, the default); 'mean' takes the
+    # posterior mean mu_x instead. Inference-only diagnostic knob — with a
+    # learned schedule whose gamma_0 sits high (vlb training), 'mean'
+    # separates denoiser quality from the schedule's final noise floor
+    # (docs/demo_vlb_results.json).
+    final_decode: str = 'draw'             # 'draw' | 'mean'
     # Exact-subsequence respacing: the gamma grid of the TRAINED schedule.
     # None -> `timesteps` (normal training / full-grid sampling). Set to the
     # trained T while lowering `timesteps` to sample on a coarser loop whose

@@ -322,8 +322,11 @@ class EDM:
         sigma_0 = schedules.sigma_from_gamma(gamma_0)
         alpha_0 = schedules.alpha_from_gamma(gamma_0)
         mu_x = (z_0 - sigma_0 * eps_hat) / alpha_0
-        eps = self.sample_noise(key, z_0.shape[:2], linker_mask)
-        xh = mu_x + sigma_x * eps
+        if self.cfg.final_decode == 'mean':
+            xh = mu_x
+        else:
+            eps = self.sample_noise(key, z_0.shape[:2], linker_mask)
+            xh = mu_x + sigma_x * eps
         xh = z_0 * fragment_mask + xh * linker_mask
 
         x, h = xh[..., :self.n_dims], xh[..., self.n_dims:]
@@ -521,7 +524,11 @@ class InpaintingEDM(EDM):
             params['dynamics'], zeros, z_0, node_mask, None, edge_mask,
             context, cfg=self.mcfg)
         mu_x = (z_0 - sigma_0 * eps_hat) / alpha_0
-        xh_p = mu_x + sigma_x * self.sample_noise(kp, z_0.shape[:2], node_mask)
+        if self.cfg.final_decode == 'mean':
+            xh_p = mu_x
+        else:
+            xh_p = mu_x + sigma_x * self.sample_noise(
+                kp, z_0.shape[:2], node_mask)
 
         eps = self.sample_noise(kq, z_0.shape[:2], node_mask)
         xh_q = z_0 / alpha_0 - (sigma_0 / alpha_0) * eps

@@ -25,6 +25,7 @@ def main():
     p.add_argument('--val-size', type=int, default=128)
     p.add_argument('--batch-size', type=int, default=128)
     p.add_argument('--out', type=str, default=None)
+    p.add_argument('--save-params', type=str, default=None)
     p.add_argument('--hidden', type=int, default=256)
     p.add_argument('--layers', type=int, default=6)
     p.add_argument('--lr', type=float, default=4e-4)
@@ -114,6 +115,39 @@ def main():
             print(f'epoch {epoch + 1}: vlb={metrics["vlb_loss"]:.4f} '
                   f'l2={metrics["l2_loss"]:.4f}', flush=True)
             evaluate(epoch + 1, state, metrics['loss'])
+
+    # ---- final-decode diagnosis: draw vs posterior mean -------------------
+    # vlb training lets the learnable gamma_0 endpoint drift up (likelihood
+    # prefers it); sigma(0)=sqrt(sigmoid(gamma_0)) then leaves visible noise
+    # in the final draw. Decoding the posterior MEAN instead isolates the
+    # denoiser's quality from the learned schedule's final noise floor.
+    import dataclasses
+    mean_cfg = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion,
+                                           final_decode='mean'))
+    mean_sampler = LinkerSampler(mean_cfg, state['params'],
+                                 pad_batch_to=args.batch_size)
+    m = sample_and_analyze(
+        mean_sampler, val_ds.iter_batches(args.batch_size),
+        jax.random.PRNGKey(7), n_samples=1)
+    results['final_decode_mean'] = {
+        'validity': round(m['validity'], 4),
+        'validity_and_connectivity': round(m['validity_and_connectivity'], 4),
+        'uniqueness': round(m['uniqueness'], 4),
+        'note': 'same trained model, final p(x,h|z0) decoded at the '
+                'posterior mean instead of a sigma_0-noised draw',
+    }
+    print(f'final_decode=mean: {json.dumps(results["final_decode_mean"])}',
+          flush=True)
+
+    if args.save_params:
+        from difflinker_tpu.io.checkpoints import save_params_npz
+        save_params_npz(state['params'], args.save_params)
+        with open(args.save_params + '.config.json', 'w') as f:
+            json.dump({'hidden': args.hidden, 'layers': args.layers,
+                       'timesteps': args.timesteps,
+                       'noise_schedule': 'learned', 'loss_type': 'vlb'}, f)
+        print(f'saved params to {args.save_params}', flush=True)
 
     if args.out:
         with open(args.out, 'w') as f:

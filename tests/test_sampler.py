@@ -360,3 +360,53 @@ def test_inpainting_resampling_knob():
     assert set(np.unique(out3['one_hot'].sum(-1))) <= {0.0, 1.0}
     # resampling changes the trajectory
     assert np.abs(out1['positions'] - out3['positions']).max() > 1e-4
+
+
+def test_final_decode_mean_knob():
+    """DiffusionConfig.final_decode: 'mean' decodes p(x,h|z0) at the
+    posterior mean — the final output no longer depends on the decode-noise
+    draw, while 'draw' (default, reference src/edm.py:210-235) does."""
+    import dataclasses
+    from difflinker_tpu.data.collate import collate
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=4),
+        data=DataConfig(), train=TrainConfig())
+    batch = collate(synthetic_molecule_dataset(3, seed=2).samples)
+
+    def decode_twice(cfg_run):
+        edm = make_edm(cfg_run.model, cfg_run.diffusion)
+        params = edm.init_params(jax.random.PRNGKey(0))
+        import jax.numpy as jnp
+        x = jnp.asarray(batch['positions'])
+        h = jnp.asarray(batch['one_hot'])
+        xh = jnp.concatenate(edm.normalize(x, h), axis=-1)
+        masks = [jnp.asarray(batch[k])[..., None] if batch[k].ndim == 2 else
+                 jnp.asarray(batch[k])
+                 for k in ('atom_mask', 'fragment_mask', 'linker_mask')]
+        node_mask, fragment_mask, linker_mask = masks
+        em = jnp.asarray(batch['edge_mask']).reshape(
+            x.shape[0], x.shape[1], x.shape[1], 1)
+        anchors = jnp.asarray(batch['anchors'])
+        if anchors.ndim == 2:
+            anchors = anchors[..., None]
+        ctx = jnp.concatenate([fragment_mask, anchors], axis=-1)
+        z0 = xh * fragment_mask + 0.1 * linker_mask
+        outs = []
+        for seed in (10, 11):
+            x_o, h_o, _ = edm.decode_z0(params, jax.random.PRNGKey(seed), z0,
+                                        node_mask, fragment_mask, linker_mask,
+                                        em, ctx)
+            outs.append(np.asarray(x_o))
+        return outs
+
+    a, b = decode_twice(dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion,
+                                           final_decode='mean')))
+    np.testing.assert_array_equal(a, b)  # key-independent
+
+    c, d = decode_twice(cfg)
+    assert np.abs(c - d).max() > 1e-6  # reference draw mode keeps the noise
