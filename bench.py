@@ -95,8 +95,14 @@ def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
         [None, jnp.asarray(ctx)]
 
 
-def _train_throughput(mcfg, B, N, make_batch, runs=3):
-    """Full jitted train step (loss + grads + AdamW) timings on one chip."""
+def _train_throughput(mcfg, B, N, make_batch, runs=3, k_steps=16):
+    """Full jitted train step (loss + grads + AdamW) timings on one chip.
+
+    Times K consecutive steps inside ONE lax.scan program and divides: the
+    train-step arg pytree has hundreds of leaves, so per-call host dispatch
+    on this 1-core host costs tens of ms and would otherwise dominate the
+    ~10-20 ms device step (the round-2 12.8%-MFU figure carried exactly that
+    artifact — CLAUDE.md: benchmark inside a single jit/lax.scan)."""
     import jax
     import jax.numpy as jnp
     from difflinker_tpu.config import (DataConfig, DiffusionConfig,
@@ -113,16 +119,25 @@ def _train_throughput(mcfg, B, N, make_batch, runs=3):
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     batch = make_batch(B, N)
-    step = trainer.compiled_train_step()
-    state, m = step(state, batch, jax.random.PRNGKey(1), jnp.inf)
-    jax.block_until_ready(m['loss'])
+
+    @jax.jit
+    def many(state, keys):
+        def body(s, k):
+            s2, m = trainer.train_step(s, batch, k, jnp.inf)
+            return s2, m['loss']
+        return jax.lax.scan(body, state, keys)
+
+    _, losses = many(state, jax.random.split(jax.random.PRNGKey(1), k_steps))
+    jax.block_until_ready(losses)
     times = []
     for i in range(runs):
+        keys = jax.random.split(jax.random.PRNGKey(2 + i), k_steps)
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i), jnp.inf)
-        jax.block_until_ready(m['loss'])
+        _, losses = many(state, keys)
+        jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
-    return B / min(times), min(times)
+    dt = min(times) / k_steps
+    return B / dt, dt
 
 
 def _zinc_train_batch(B, N, n_frag=14):

@@ -38,10 +38,34 @@ def measure(mcfg, B, N, make_batch, runs=3):
     batch = make_batch(B, N)
     key = jax.random.PRNGKey(1)
 
-    fwd = jax.jit(lambda p, b, k: trainer.loss_fn(p, b, k, training=True)[0])
-    grad = jax.jit(lambda p, b, k: jax.grad(
-        lambda q: trainer.loss_fn(q, b, k, training=True)[0])(p))
-    step = trainer.compiled_train_step()
+    # Each variant runs K iterations inside ONE lax.scan program: per-call
+    # host dispatch of a multi-hundred-leaf arg pytree costs tens of ms on
+    # this 1-core host and would otherwise dominate the device time
+    # (CLAUDE.md: benchmark inside a single jit/lax.scan).
+    K = 16
+
+    @jax.jit
+    def fwd_many(p, keys):
+        def body(acc, k):
+            return acc + trainer.loss_fn(p, batch, k, training=True)[0], None
+        return jax.lax.scan(body, 0.0, keys)[0]
+
+    @jax.jit
+    def grad_many(p, keys):
+        def body(acc, k):
+            g = jax.grad(
+                lambda q: trainer.loss_fn(q, batch, k, training=True)[0])(p)
+            gsum = sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                       for l in jax.tree_util.tree_leaves(g))
+            return acc + gsum, None
+        return jax.lax.scan(body, 0.0, keys)[0]
+
+    @jax.jit
+    def step_many(s, keys):
+        def body(c, k):
+            s2, m = trainer.train_step(c, batch, k, jnp.inf)
+            return s2, m['loss']
+        return jax.lax.scan(body, s, keys)[1]
 
     def clock(fn, *args):
         out = fn(*args)
@@ -52,11 +76,12 @@ def measure(mcfg, B, N, make_batch, runs=3):
             out = fn(*args)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
-        return min(times) * 1e3  # ms
+        return min(times) / K * 1e3  # ms per iteration
 
-    t_fwd = clock(fwd, state['params'], batch, key)
-    t_grad = clock(grad, state['params'], batch, key)
-    t_step = clock(lambda s: step(s, batch, key, jnp.inf)[1]['loss'], state)
+    keys = jax.random.split(key, K)
+    t_fwd = clock(fwd_many, state['params'], keys)
+    t_grad = clock(grad_many, state['params'], keys)
+    t_step = clock(step_many, state, keys)
     return {'fwd_ms': round(t_fwd, 2), 'grad_ms': round(t_grad, 2),
             'step_ms': round(t_step, 2),
             'bwd_over_fwd': round((t_grad - t_fwd) / t_fwd, 2),
