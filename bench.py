@@ -95,16 +95,12 @@ def _pocket_inputs(B, N, n_lig=40, n_pocket=160):
         [None, jnp.asarray(ctx)]
 
 
-def _train_throughput(mcfg, B, N, make_batch, runs=3, k_steps=16):
-    """Full jitted train step (loss + grads + AdamW) timings on one chip.
-
-    Times K consecutive steps inside ONE lax.scan program and divides: the
-    train-step arg pytree has hundreds of leaves, so per-call host dispatch
-    on this 1-core host costs tens of ms and would otherwise dominate the
-    ~10-20 ms device step (the round-2 12.8%-MFU figure carried exactly that
-    artifact — CLAUDE.md: benchmark inside a single jit/lax.scan)."""
+def _train_setup(mcfg, B, N, make_batch):
+    """(trainer, init state, synthetic batch) for a ModelConfig at shape
+    (B, N). One cfg-assembly recipe shared by `_train_throughput` below and
+    scripts/bench_train_breakdown.py — keeps the published MFU numbers
+    comparable between the two."""
     import jax
-    import jax.numpy as jnp
     from difflinker_tpu.config import (DataConfig, DiffusionConfig,
                                        ExperimentConfig, PocketMode,
                                        TrainConfig)
@@ -118,7 +114,35 @@ def _train_throughput(mcfg, B, N, make_batch, runs=3, k_steps=16):
         train=TrainConfig())
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
-    batch = make_batch(B, N)
+    return trainer, state, make_batch(B, N)
+
+
+def _scan_clock(fn, args_, k_steps, runs=3):
+    """min-of-`runs` seconds per iteration for a jitted fn that runs
+    `k_steps` iterations inside ONE lax.scan program. Per-call host dispatch
+    of a multi-hundred-leaf arg pytree costs tens of ms on this 1-core host
+    and would otherwise dominate the ~10-20 ms device step (the round-2
+    12.8%-MFU figure carried exactly that artifact — CLAUDE.md: benchmark
+    inside a single jit/lax.scan)."""
+    import jax
+
+    out = fn(*args_)  # compile + warm
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = fn(*args_)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times) / k_steps
+
+
+def _train_throughput(mcfg, B, N, make_batch, runs=3, k_steps=16):
+    """Full jitted train step (loss + grads + AdamW) timings on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer, state, batch = _train_setup(mcfg, B, N, make_batch)
 
     @jax.jit
     def many(state, keys):
@@ -127,16 +151,8 @@ def _train_throughput(mcfg, B, N, make_batch, runs=3, k_steps=16):
             return s2, m['loss']
         return jax.lax.scan(body, state, keys)
 
-    _, losses = many(state, jax.random.split(jax.random.PRNGKey(1), k_steps))
-    jax.block_until_ready(losses)
-    times = []
-    for i in range(runs):
-        keys = jax.random.split(jax.random.PRNGKey(2 + i), k_steps)
-        t0 = time.perf_counter()
-        _, losses = many(state, keys)
-        jax.block_until_ready(losses)
-        times.append(time.perf_counter() - t0)
-    dt = min(times) / k_steps
+    keys = jax.random.split(jax.random.PRNGKey(1), k_steps)
+    dt = _scan_clock(many, (state, keys), k_steps, runs)
     return B / dt, dt
 
 

@@ -73,6 +73,39 @@ def enable_compilation_cache(cache_dir: str = None):
         return None
 
 
+def add_respacing_args(p):
+    """--steps / --respace-mode / --resample-steps, shared by the sampling
+    CLIs (sample, generate, generate_with_protein). Pair with
+    apply_respacing(cfg, args)."""
+    p.add_argument('--steps', type=int, default=None,
+                   help='override the number of reverse-diffusion steps')
+    p.add_argument('--resample-steps', type=int, default=1,
+                   help='inpainting models only: RePaint-style repeats per '
+                        'reverse step (harmonises generated vs replaced '
+                        'parts; chain cost scales linearly)')
+    p.add_argument('--respace-mode', type=str, default='subsequence',
+                   choices=['subsequence', 'rebuild'],
+                   help="how --steps respaces the chain: 'subsequence' reads "
+                        "gamma off the trained grid (exact, the reference's "
+                        "n_steps semantics); 'rebuild' regenerates the "
+                        'schedule at T=steps (legacy)')
+    return p
+
+
+def apply_respacing(cfg, args):
+    """Apply the add_respacing_args() flags to a loaded ExperimentConfig."""
+    import dataclasses
+    cfg = respace_config(cfg, args.steps, args.respace_mode)
+    if args.resample_steps > 1:
+        if not cfg.diffusion.inpainting:
+            raise SystemExit('--resample-steps applies to inpainting '
+                             '(replace-inpainting) models only')
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, resample_steps=args.resample_steps))
+    return cfg
+
+
 def respace_config(cfg, steps, mode: str = 'subsequence'):
     """Apply a --steps override to an ExperimentConfig.
 

@@ -36,15 +36,7 @@ def build_argparser():
     p.add_argument('--size-model', type=str, default=None,
                    help='SizeClassifier .ckpt for learned size prediction')
     p.add_argument('--n-samples', type=int, default=5)
-    p.add_argument('--steps', type=int, default=None)
-    p.add_argument('--resample-steps', type=int, default=1,
-                   help='inpainting models only: RePaint-style repeats per '
-                        'reverse step (harmonises generated vs replaced '
-                        'parts; chain cost scales linearly)')
-    p.add_argument('--respace-mode', type=str, default='subsequence',
-                   choices=['subsequence', 'rebuild'],
-                   help='subsequence: gamma from the trained grid (exact); '
-                        'rebuild: regenerate the schedule at T=steps')
+    common.add_respacing_args(p)
     p.add_argument('--anchors', type=str, default=None,
                    help='comma-separated anchor atom indices (1-based)')
     p.add_argument('--out', type=str, default='output')
@@ -85,15 +77,7 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     common.enable_compilation_cache()
     cfg, params = load_model(args)
-    cfg = common.respace_config(cfg, args.steps, args.respace_mode)
-    if args.resample_steps > 1:
-        import dataclasses
-        if not cfg.diffusion.inpainting:
-            raise SystemExit('--resample-steps applies to inpainting '
-                             '(replace-inpainting) models only')
-        cfg = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(
-                cfg.diffusion, resample_steps=args.resample_steps))
+    cfg = common.apply_respacing(cfg, args)
     is_geom = cfg.data.is_geom
     sample = fragment_sample_dict(args, is_geom)
     batch = collate([dict(sample) for _ in range(args.n_samples)])

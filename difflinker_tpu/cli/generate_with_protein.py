@@ -44,15 +44,7 @@ def build_argparser(pocket_is_precut: bool = False):
     p.add_argument('--linker-size', type=str, default='prior')
     p.add_argument('--size-model', type=str, default=None)
     p.add_argument('--n-samples', type=int, default=5)
-    p.add_argument('--steps', type=int, default=None)
-    p.add_argument('--resample-steps', type=int, default=1,
-                   help='inpainting models only: RePaint-style repeats per '
-                        'reverse step (harmonises generated vs replaced '
-                        'parts; chain cost scales linearly)')
-    p.add_argument('--respace-mode', type=str, default='subsequence',
-                   choices=['subsequence', 'rebuild'],
-                   help='subsequence: gamma from the trained grid (exact); '
-                        'rebuild: regenerate the schedule at T=steps')
+    common.add_respacing_args(p)
     p.add_argument('--anchors', type=str, default=None)
     p.add_argument('--out', type=str, default='output')
     p.add_argument('--seed', type=int, default=0)
@@ -110,15 +102,7 @@ def run(args, pocket_is_precut: bool):
             'this model centers on anchor atoms: pass --anchors i,j '
             '(1-based fragment atom indices) or use a model that does not '
             'require anchor information')
-    cfg = common.respace_config(cfg, args.steps, args.respace_mode)
-    if args.resample_steps > 1:
-        import dataclasses
-        if not cfg.diffusion.inpainting:
-            raise SystemExit('--resample-steps applies to inpainting '
-                             '(replace-inpainting) models only')
-        cfg = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(
-                cfg.diffusion, resample_steps=args.resample_steps))
+    cfg = common.apply_respacing(cfg, args)
     sample, center = build_pocket_sample(args, pocket_is_precut)
     batch = collate([dict(sample) for _ in range(args.n_samples)])
 

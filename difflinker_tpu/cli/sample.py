@@ -33,17 +33,7 @@ def build_argparser():
     p.add_argument('--synthetic', type=int, default=None)
     p.add_argument('--n-samples', type=int, default=5)
     p.add_argument('--batch-size', type=int, default=64)
-    p.add_argument('--steps', type=int, default=None, help='override T')
-    p.add_argument('--resample-steps', type=int, default=1,
-                   help='inpainting models only: RePaint-style repeats per '
-                        'reverse step (harmonises generated vs replaced '
-                        'parts; chain cost scales linearly)')
-    p.add_argument('--respace-mode', type=str, default='subsequence',
-                   choices=['subsequence', 'rebuild'],
-                   help="how --steps respaces the chain: 'subsequence' reads "
-                        "gamma off the trained grid (exact, the reference's "
-                        "n_steps semantics); 'rebuild' regenerates the "
-                        'schedule at T=steps (legacy)')
+    common.add_respacing_args(p)
     p.add_argument('--linker-size', type=str, default='ground_truth',
                    help="'ground_truth' | 'prior' | int | 'lo,hi'")
     p.add_argument('--linker-size-model', type=str, default=None,
@@ -119,15 +109,7 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     common.enable_compilation_cache()
     cfg, params = load_model(args)
-    cfg = common.respace_config(cfg, args.steps, args.respace_mode)
-    if args.resample_steps > 1:
-        import dataclasses
-        if not cfg.diffusion.inpainting:
-            raise SystemExit('--resample-steps applies to inpainting '
-                             '(replace-inpainting) models only')
-        cfg = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(
-                cfg.diffusion, resample_steps=args.resample_steps))
+    cfg = common.apply_respacing(cfg, args)
     if args.synthetic:
         ds = synthetic_dataset(args.synthetic, seed=0,
                                is_geom=cfg.data.is_geom)

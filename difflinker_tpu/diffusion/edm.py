@@ -49,9 +49,11 @@ class EDM:
         # then the T-step loop reads gamma off the TRAINED schedule_T-grid at
         # round(t*schedule_T), the reference's n_steps-override semantics.
         self.schedule_T = diff_cfg.schedule_timesteps or self.T
-        assert self.schedule_T >= self.T, (
-            f'schedule_timesteps {self.schedule_T} < sampling timesteps '
-            f'{self.T}: the subsequence must come from a finer trained grid')
+        # T may exceed schedule_T (--steps above the trained T): the lookup
+        # rounds t*schedule_T so adjacent loop steps then share a grid point,
+        # making gamma_s == gamma_t and the extra step an exact no-op
+        # (sigma2_t|s = 0) — the reference's n_steps-override behaves the
+        # same way (sample.py:94-95, src/noise.py:126-128).
         self.n_dims = model_cfg.n_dims
         self.in_node_nf = model_cfg.in_node_nf
         self.norm_values = diff_cfg.norm_values
@@ -525,13 +527,17 @@ class InpaintingEDM(EDM):
             context, cfg=self.mcfg)
         mu_x = (z_0 - sigma_0 * eps_hat) / alpha_0
         if self.cfg.final_decode == 'mean':
+            # key-independent decode for BOTH parts: the q-side fragment
+            # draw would otherwise keep a sigma_0-scaled noise term and
+            # defeat the knob's purpose (isolating the schedule's noise
+            # floor from the network)
             xh_p = mu_x
+            xh_q = z_0 / alpha_0
         else:
             xh_p = mu_x + sigma_x * self.sample_noise(
                 kp, z_0.shape[:2], node_mask)
-
-        eps = self.sample_noise(kq, z_0.shape[:2], node_mask)
-        xh_q = z_0 / alpha_0 - (sigma_0 / alpha_0) * eps
+            eps = self.sample_noise(kq, z_0.shape[:2], node_mask)
+            xh_q = z_0 / alpha_0 - (sigma_0 / alpha_0) * eps
 
         xh = xh_p * linker_mask + xh_q * fragment_mask
         x, h = xh[..., :self.n_dims], xh[..., self.n_dims:]

@@ -59,10 +59,17 @@ def wrap_pad(arrays: Dict, n_dev: int, *, axis: int = 0) -> (Dict, int):
     A `sample_weight` array is attached/extended with 0 for the duplicated
     rows — the EDM loss weights every batch-mean term by it, so duplicates
     contribute exactly nothing to the loss or the gradients (they only fill
-    out the device mesh). Returns (padded arrays, number of padded rows;
-    0 = untouched, no weight added)."""
+    out the device mesh). `sample_weight` is attached even when no padding
+    happens (all-ones) so padded and unpadded batches share one arg-pytree
+    structure — a second structure would trigger a second multi-minute XLA
+    program compile through the tunnel (CLAUDE.md: FEWER programs). Returns
+    (padded arrays, number of padded rows; 0 = untouched)."""
     bs = next(iter(arrays.values())).shape[axis]
     if bs % n_dev == 0:
+        if 'sample_weight' not in arrays:
+            lead = np.asarray(next(iter(arrays.values()))).shape[:axis + 1]
+            arrays = dict(arrays)
+            arrays['sample_weight'] = np.ones(lead, np.float32)
         return arrays, 0
     pad = n_dev - bs % n_dev
     pad_rows = np.arange(pad) % bs

@@ -61,17 +61,23 @@ def main():
 
     def make_cfg(T):
         if multifrag:
-            # demo_learning_multifrag: 9-type vocab, fragment-flag-only
-            # context (no anchors), CoM=fragments
+            # demo_learning_multifrag: 9-type vocab; context and CoM follow
+            # the saved recipe flag (geom_difflinker vs ..._given_anchors,
+            # same switch analyze_multifrag.py uses)
+            anchors = bool(mc.get('given_anchors'))
             return ExperimentConfig(
                 exp_name='respacing_study',
-                model=ModelConfig(in_node_nf=9, context_node_nf=1,
+                model=ModelConfig(in_node_nf=9,
+                                  context_node_nf=2 if anchors else 1,
                                   hidden_nf=mc['hidden'],
                                   n_layers=mc['layers'], norm_constant=1e-6),
                 diffusion=DiffusionConfig(timesteps=T),
                 data=DataConfig(family=DatasetFamily.GEOM),
                 train=TrainConfig(n_stability_samples=1,
-                                  anchors_context=False))
+                                  anchors_context=anchors,
+                                  center_of_mass=(CenterOfMass.ANCHORS
+                                                  if anchors else
+                                                  CenterOfMass.FRAGMENTS)))
         return ExperimentConfig(
             exp_name='respacing_study',
             model=ModelConfig(

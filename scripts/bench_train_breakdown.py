@@ -8,13 +8,9 @@ remat — ops/flops.train_step_flops).
     python scripts/bench_train_breakdown.py --out docs/train_breakdown.json
 """
 import argparse
-import dataclasses
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,26 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def measure(mcfg, B, N, make_batch, runs=3):
     import jax
     import jax.numpy as jnp
-    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
-                                       ExperimentConfig, PocketMode,
-                                       TrainConfig)
-    from difflinker_tpu.train.trainer import Trainer
+    import bench
 
-    has_pocket = mcfg.context_node_nf == 3
-    cfg = ExperimentConfig(
-        model=mcfg, diffusion=DiffusionConfig(timesteps=500),
-        data=DataConfig(pocket_mode=PocketMode.FULL if has_pocket
-                        else PocketMode.NONE),
-        train=TrainConfig())
-    trainer = Trainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    batch = make_batch(B, N)
+    # Setup + scan-of-K timing harness shared with bench.py (same cfg
+    # assembly, same clock) so the MFU numbers published by both agree.
+    trainer, state, batch = bench._train_setup(mcfg, B, N, make_batch)
     key = jax.random.PRNGKey(1)
-
-    # Each variant runs K iterations inside ONE lax.scan program: per-call
-    # host dispatch of a multi-hundred-leaf arg pytree costs tens of ms on
-    # this 1-core host and would otherwise dominate the device time
-    # (CLAUDE.md: benchmark inside a single jit/lax.scan).
     K = 16
 
     @jax.jit
@@ -68,15 +50,7 @@ def measure(mcfg, B, N, make_batch, runs=3):
         return jax.lax.scan(body, s, keys)[1]
 
     def clock(fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        return min(times) / K * 1e3  # ms per iteration
+        return bench._scan_clock(fn, args, K, runs) * 1e3  # ms per iteration
 
     keys = jax.random.split(key, K)
     t_fwd = clock(fwd_many, state['params'], keys)

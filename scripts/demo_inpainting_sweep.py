@@ -88,6 +88,8 @@ def main():
 
         for sample_T in (int(v) for v in args.steps.split(',')):
             if sample_T > T:
+                print(f'skipping sample_T={sample_T} > trained T={T} '
+                      '(pure no-op steps)', flush=True)
                 continue
             for r in (int(v) for v in args.resample.split(',')):
                 scfg = respace_config(cfg, sample_T, 'subsequence')
@@ -114,14 +116,17 @@ def main():
                     with open(args.out, 'w') as f:
                         json.dump(results, f, indent=2)
 
-    best = max(results['runs'],
-               key=lambda r: r['validity_and_connectivity'])
-    results['best'] = best
+    if results['runs']:
+        best = max(results['runs'],
+                   key=lambda r: r['validity_and_connectivity'])
+        results['best'] = best
+        print('best:', json.dumps(best))
+    else:
+        print('no scoring rows (every sample_T exceeded its trained T)')
     if args.out:
         with open(args.out, 'w') as f:
             json.dump(results, f, indent=2)
-    print('best:', json.dumps(best))
-    return 0
+    return 0 if results['runs'] else 1
 
 
 if __name__ == '__main__':

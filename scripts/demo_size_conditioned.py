@@ -19,7 +19,7 @@ sampling sweep on the wide diffusion recipe:
                    (the generate.py:88-99 user journey, categorical draws),
   * prior        — DistributionNodes categorical prior (lower bound).
 
-    python scripts/demo_size_conditioned.py --epochs 1500 --cosine \
+    python scripts/demo_size_conditioned.py --epochs 1500 \
         --out docs/demo_size_results.json
 """
 import argparse
@@ -39,7 +39,6 @@ def main():
     p.add_argument('--hidden', type=int, default=256)
     p.add_argument('--layers', type=int, default=6)
     p.add_argument('--timesteps', type=int, default=500)
-    p.add_argument('--cosine', action='store_true', default=True)
     p.add_argument('--size-hidden', type=int, default=128)
     p.add_argument('--size-layers', type=int, default=3)
     p.add_argument('--heads', type=str,

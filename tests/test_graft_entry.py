@@ -27,6 +27,6 @@ def test_dryrun_batch_divisible_by_mesh():
     batch = _synthetic_batch(2 * n_dev, 16, n_frag=5)
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.ndim and arr.shape[0] == 2 * n_dev:
-            assert arr.shape[0] % n_dev == 0
+        if arr.ndim:  # every leading axis must be the shardable batch dim
+            assert arr.shape[0] == 2 * n_dev, (k, arr.shape)
     assert batch['positions'].shape[0] == 2 * n_dev

@@ -288,3 +288,25 @@ def test_gnn_ablation_trains():
         losses.append(metrics['l2_loss'])
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses[-1])
+
+
+def test_wrap_pad_uniform_pytree_structure():
+    """wrap_pad attaches sample_weight even when nothing pads, so ragged and
+    full batches share one arg-pytree structure (one XLA program, not two —
+    the tunnel makes a second compile cost minutes)."""
+    from difflinker_tpu.train.trainer import wrap_pad
+
+    cfg = _cfg()
+    trainer = Trainer(cfg)
+    full = _batches(n=1, batch_size=8)[0]
+    sub = {k: np.asarray(full[k]) for k in trainer.BATCH_KEYS if k in full}
+
+    unpadded, pad0 = wrap_pad(sub, 8)
+    assert pad0 == 0
+    np.testing.assert_array_equal(unpadded['sample_weight'], np.ones(8))
+
+    ragged = {k: v[:5] for k, v in sub.items()}
+    padded, pad = wrap_pad(ragged, 8)
+    assert pad == 3
+    assert set(padded.keys()) == set(unpadded.keys())
+    assert all(padded[k].shape == unpadded[k].shape for k in padded)
