@@ -328,6 +328,27 @@ def test_subsequence_respacing_exact(setup):
     assert not out['nan_flag'].any()
     assert np.isfinite(out['positions']).all()
 
+    # steps > T: allowed — adjacent loop steps that round to the SAME
+    # trained grid point share gamma (gamma_s == gamma_t => sigma2_{t|s}=0,
+    # an exact no-op step), the reference's n_steps-override behavior
+    cfg_up = respace_config(cfg, 2 * T + 1, 'subsequence')
+    assert cfg_up.diffusion.timesteps == 2 * T + 1
+    assert cfg_up.diffusion.schedule_timesteps == T
+    edm_up = mk(cfg_up.model, cfg_up.diffusion)
+    np.testing.assert_array_equal(np.asarray(edm_up.gamma_table), table)
+    seen = []
+    for i in range(2 * T + 2):
+        t = jnp.full((1, 1), i / (2 * T + 1))
+        got = np.asarray(edm_up.gamma(params, t))[0, 0]
+        np.testing.assert_array_equal(
+            got, table[int(round(i / (2 * T + 1) * T))])
+        seen.append(got)
+    assert len(set(float(g) for g in seen)) == T + 1  # duplicates = no-ops
+    out_up = LinkerSampler(cfg_up, params).sample(
+        batch, jax.random.PRNGKey(6), size_spec=5)
+    assert not out_up['nan_flag'].any()
+    assert np.isfinite(out_up['positions']).all()
+
 
 def test_inpainting_resampling_knob():
     """InpaintingEDM resample_steps (RePaint-style harmonisation): r=1 is
