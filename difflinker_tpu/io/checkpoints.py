@@ -139,6 +139,19 @@ def load_params_npz(path: str, params_like: Dict) -> Dict:
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params_like)
     names = ['/'.join(str(getattr(k, 'key', getattr(k, 'idx', k)))
                       for k in kp) for kp, _ in leaves]
-    new_leaves = [z[n] for n in names]
+    missing = [n for n in names if n not in z.files]
+    if missing:
+        raise ValueError(
+            f'{path} lacks {len(missing)} leaves of the template '
+            f'(first: {missing[:3]}) — saved from a different model config?')
+    new_leaves = []
+    for n, (_, like) in zip(names, leaves):
+        leaf = z[n]
+        if leaf.shape != np.shape(like):
+            raise ValueError(
+                f'{path}[{n}] has shape {leaf.shape}, template expects '
+                f'{np.shape(like)} — saved from a different model config '
+                '(e.g. another hidden size / context width)?')
+        new_leaves.append(leaf)
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params_like), new_leaves)

@@ -68,6 +68,17 @@ def test_params_npz_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # a template from a DIFFERENT model config must be rejected loudly, not
+    # silently loaded into mismatched leaves (review r3: context width /
+    # hidden size drift between a saved recipe and the sweep's template)
+    import dataclasses
+    import pytest
+    wrong_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, hidden_nf=cfg.model.hidden_nf * 2))
+    wrong_like = Trainer(wrong_cfg).edm.init_params(jax.random.PRNGKey(5))
+    with pytest.raises(ValueError, match='different model config'):
+        ckpt_lib.load_params_npz(path, wrong_like)
+
 
 def test_dedup_pocket_dataset():
     ds = synthetic_dataset(2, seed=0, is_geom=True, pocket_range=(4, 8))
