@@ -124,13 +124,18 @@ def _relistify(tree):
     return tree
 
 
-def save_params_npz(params: Dict, path: str) -> None:
-    """Flat-npz export of a param pytree (portable, torch-free)."""
+def save_params_npz(params: Dict, path: str, dtype=None) -> None:
+    """Flat-npz export of a param pytree (portable, torch-free).
+
+    `dtype` (e.g. np.float16) down-casts leaves for bundled release
+    artifacts — halves the file; load_params_npz casts back to the
+    template's dtype, so the round-trip costs one fp16 quantisation."""
     flat = {}
     for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = '/'.join(str(getattr(k, 'key', getattr(k, 'idx', k)))
                         for k in keypath)
-        flat[name] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        flat[name] = arr.astype(dtype) if dtype is not None else arr
     np.savez_compressed(path, **flat)
 
 
@@ -152,6 +157,8 @@ def load_params_npz(path: str, params_like: Dict) -> Dict:
                 f'{path}[{n}] has shape {leaf.shape}, template expects '
                 f'{np.shape(like)} — saved from a different model config '
                 '(e.g. another hidden size / context width)?')
-        new_leaves.append(leaf)
+        # fp16-stored release artifacts come back at the template's dtype
+        # (a dtype change would otherwise silently fork the jit program)
+        new_leaves.append(leaf.astype(np.asarray(like).dtype, copy=False))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params_like), new_leaves)

@@ -31,36 +31,14 @@ def main():
     from difflinker_tpu.chem import metrics
     from difflinker_tpu.chem.molgraph import build_molecules
     from difflinker_tpu.cli.common import respace_config
-    from difflinker_tpu.config import (DataConfig, DatasetFamily,
-                                       DiffusionConfig, ExperimentConfig,
-                                       ModelConfig, TrainConfig)
-    from difflinker_tpu.data.synthetic_molecules import synthetic_multifrag_dataset
-    from difflinker_tpu.diffusion.edm import make_edm
-    from difflinker_tpu.io.checkpoints import load_params_npz
+    from difflinker_tpu.demo import load_demo_model, recipe_val_dataset
     from difflinker_tpu.sample.sampler import LinkerSampler
 
-    with open(args.params + '.config.json') as f:
-        mc = json.load(f)
-    from difflinker_tpu.config import CenterOfMass
-    anchors = bool(mc.get('given_anchors'))
-    cfg = ExperimentConfig(
-        model=ModelConfig(in_node_nf=9, context_node_nf=2 if anchors else 1,
-                          hidden_nf=mc['hidden'], n_layers=mc['layers'],
-                          norm_constant=1e-6),
-        diffusion=DiffusionConfig(timesteps=mc['timesteps']),
-        data=DataConfig(family=DatasetFamily.GEOM),
-        train=TrainConfig(anchors_context=anchors,
-                          center_of_mass=(CenterOfMass.ANCHORS if anchors
-                                          else CenterOfMass.FRAGMENTS),
-                          n_stability_samples=1))
+    cfg, params, mc = load_demo_model(args.params)
     if args.steps:
         cfg = respace_config(cfg, args.steps, 'subsequence')
-    params = load_params_npz(
-        args.params,
-        make_edm(cfg.model, cfg.diffusion).init_params(jax.random.PRNGKey(0)))
 
-    val_ds = synthetic_multifrag_dataset(
-        args.val_size, seed=1, n_fragments=tuple(mc['n_fragments']))
+    val_ds = recipe_val_dataset(mc, args.val_size, seed=1)
     sampler = LinkerSampler(cfg, params, pad_batch_to=64)
 
     by_k = {}

@@ -44,70 +44,21 @@ def main():
     args = p.parse_args()
 
     import jax
-    from difflinker_tpu.config import (CenterOfMass, DataConfig,
-                                       DatasetFamily, DiffusionConfig,
-                                       ExperimentConfig, GraphType,
-                                       ModelConfig, PocketMode, TrainConfig)
-    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
-    from difflinker_tpu.diffusion.edm import make_edm
-    from difflinker_tpu.io.checkpoints import load_params_npz
+    from difflinker_tpu.demo import load_demo_model, recipe_val_dataset
     from difflinker_tpu.sample.sampler import LinkerSampler
     from difflinker_tpu.train.evaluation import sample_and_analyze
 
-    with open(args.params + '.config.json') as f:
-        mc = json.load(f)
-    pocket = mc.get('pocket', False)
-    multifrag = mc.get('n_fragments') is not None  # GEOM multifrag recipe
-
-    def make_cfg(T):
-        if multifrag:
-            # demo_learning_multifrag: 9-type vocab; context and CoM follow
-            # the saved recipe flag (geom_difflinker vs ..._given_anchors,
-            # same switch analyze_multifrag.py uses)
-            anchors = bool(mc.get('given_anchors'))
-            return ExperimentConfig(
-                exp_name='respacing_study',
-                model=ModelConfig(in_node_nf=9,
-                                  context_node_nf=2 if anchors else 1,
-                                  hidden_nf=mc['hidden'],
-                                  n_layers=mc['layers'], norm_constant=1e-6),
-                diffusion=DiffusionConfig(timesteps=T),
-                data=DataConfig(family=DatasetFamily.GEOM),
-                train=TrainConfig(n_stability_samples=1,
-                                  anchors_context=anchors,
-                                  center_of_mass=(CenterOfMass.ANCHORS
-                                                  if anchors else
-                                                  CenterOfMass.FRAGMENTS)))
-        return ExperimentConfig(
-            exp_name='respacing_study',
-            model=ModelConfig(
-                in_node_nf=8, context_node_nf=3 if pocket else 2,
-                hidden_nf=mc['hidden'], n_layers=mc['layers'],
-                norm_constant=1e-6,
-                graph_type=GraphType.A4 if pocket else GraphType.FC),
-            diffusion=DiffusionConfig(timesteps=T),
-            data=DataConfig(family=DatasetFamily.MOAD,
-                            pocket_mode=PocketMode.FULL)
-            if pocket else DataConfig(),
-            train=TrainConfig(
-                n_stability_samples=1,
-                center_of_mass=CenterOfMass(mc.get('com', 'fragments'))))
-
-    cfg0 = make_cfg(mc['timesteps'])
-    params_like = make_edm(cfg0.model, cfg0.diffusion).init_params(
-        jax.random.PRNGKey(0))
-    params = load_params_npz(args.params, params_like)
-    if multifrag:
-        from difflinker_tpu.data.synthetic_molecules import \
-            synthetic_multifrag_dataset
-        val_ds = synthetic_multifrag_dataset(
-            args.val_size, seed=1, n_fragments=tuple(mc['n_fragments']))
-    else:
-        val_ds = synthetic_molecule_dataset(
-            args.val_size, seed=1,
-            **({'pocket_range': (8, 16)} if pocket else {}))
+    # one canonical meta -> recipe mapping (difflinker_tpu/demo.py), shared
+    # with analyze_multifrag and demo_pretrained
+    _, params, mc = load_demo_model(args.params,
+                                    exp_name='respacing_study')
+    val_ds = recipe_val_dataset(mc, args.val_size, seed=1)
 
     from difflinker_tpu.cli.common import respace_config
+    from difflinker_tpu.demo import recipe_config
+
+    def make_cfg(T):
+        return recipe_config(mc, timesteps=T, exp_name='respacing_study')
 
     modes = (['subsequence', 'rebuild'] if args.mode == 'both'
              else [args.mode])
