@@ -32,6 +32,8 @@ def build_argparser():
     p.add_argument('--fragments', type=str, required=True)
     p.add_argument('--run', type=str)
     p.add_argument('--ckpt', type=str)
+    p.add_argument('--params', type=str,
+                   help='bundled demo-weights .npz (examples/params/*.npz)')
     p.add_argument('--linker-size', type=str, default='prior')
     p.add_argument('--size-model', type=str, default=None,
                    help='SizeClassifier .ckpt for learned size prediction')

@@ -39,6 +39,8 @@ def build_argparser(pocket_is_precut: bool = False):
                        help='full protein PDB; pocket extracted at 6A')
     p.add_argument('--run', type=str)
     p.add_argument('--ckpt', type=str)
+    p.add_argument('--params', type=str,
+                   help='bundled demo-weights .npz (examples/params/*.npz)')
     p.add_argument('--backbone', action='store_true',
                    help='keep only N/CA/C/O pocket atoms')
     p.add_argument('--linker-size', type=str, default='prior')

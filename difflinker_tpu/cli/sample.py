@@ -28,6 +28,8 @@ def build_argparser():
     p.add_argument('--run', type=str, help='training run dir (orbax)')
     p.add_argument('--ckpt', type=str,
                    help='reference Lightning .ckpt to sample from instead')
+    p.add_argument('--params', type=str,
+                   help='bundled demo-weights .npz (examples/params/*.npz)')
     p.add_argument('--data', type=str, default='datasets')
     p.add_argument('--prefix', type=str, default='zinc_final_test')
     p.add_argument('--synthetic', type=int, default=None)
@@ -74,11 +76,18 @@ def load_size_spec(size_model: str):
 
 
 def load_model(args):
-    """(cfg, params) from a native run dir or a reference .ckpt."""
+    """(cfg, params) from a native run dir, a reference .ckpt, or a bundled
+    demo-weights npz (examples/params/*.npz — see difflinker_tpu/demo.py)."""
+    if getattr(args, 'params', None):
+        from difflinker_tpu.demo import load_demo_model
+        cfg, params, _ = load_demo_model(args.params)
+        return cfg, params
     if args.ckpt:
         from difflinker_tpu.io.lightning_import import load_ddpm_checkpoint
         cfg, params = load_ddpm_checkpoint(args.ckpt)
         return cfg, params
+    if not args.run:
+        raise SystemExit('pass one of --run / --ckpt / --params')
     cfg = ckpt_lib.load_config(args.run)
     state = ckpt_lib.CheckpointManager(args.run).restore_raw()
     if 'ema_params' in state:

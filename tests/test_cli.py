@@ -167,6 +167,38 @@ def test_load_model_prefers_ema_params(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_load_model_from_bundled_params(tmp_path):
+    """--params serves a demo-weights npz (examples/params/*) to the
+    sampling CLIs, with the recipe rebuilt from the sidecar config.json."""
+    import argparse
+    import json
+    import jax
+    from difflinker_tpu.cli.sample import load_model
+    from difflinker_tpu.demo import recipe_config
+    from difflinker_tpu.diffusion.edm import make_edm
+    from difflinker_tpu.io.checkpoints import save_params_npz
+    import pytest
+
+    meta = {'hidden': 8, 'layers': 1, 'timesteps': 4}
+    cfg = recipe_config(meta)
+    params = make_edm(cfg.model, cfg.diffusion).init_params(
+        jax.random.PRNGKey(0))
+    path = str(tmp_path / 'demo.npz')
+    save_params_npz(params, path)
+    with open(path + '.config.json', 'w') as f:
+        json.dump(meta, f)
+
+    got_cfg, got = load_model(
+        argparse.Namespace(ckpt=None, run=None, params=path))
+    assert got_cfg.model.hidden_nf == 8
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # no source at all: a clean CLI error, not an AttributeError
+    with pytest.raises(SystemExit, match='--run / --ckpt / --params'):
+        load_model(argparse.Namespace(ckpt=None, run=None, params=None))
+
+
 def test_generate_with_pocket_main_reaches_run(tmp_path, monkeypatch):
     """main() executes past arg parsing (regression: a missing `common`
     import made every real invocation NameError before reaching run())."""
