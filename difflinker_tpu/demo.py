@@ -58,6 +58,9 @@ def recipe_config(meta: dict, timesteps: int = None,
             in_node_nf=8, context_node_nf=3 if pocket else 2,
             hidden_nf=meta['hidden'], n_layers=meta['layers'],
             norm_constant=1e-6,
+            # replace-inpainting recentres the predicted velocity
+            # (demo_learning_inpainting recipe)
+            centering=bool(meta.get('inpainting', False)),
             graph_type=GraphType.A4 if pocket else GraphType.FC),
         diffusion=diffusion,
         data=(DataConfig(family=DatasetFamily.MOAD,

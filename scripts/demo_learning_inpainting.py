@@ -30,6 +30,9 @@ def main():
     p.add_argument('--lr', type=float, default=4e-4)
     p.add_argument('--timesteps', type=int, default=100)
     p.add_argument('--out', type=str, default=None)
+    p.add_argument('--save-params', type=str, default=None,
+                   help='save final params as .npz (+ .config.json recipe '
+                        'meta for difflinker_tpu/demo.py)')
     args = p.parse_args()
 
     import jax
@@ -91,6 +94,13 @@ def main():
         if (epoch + 1) % args.eval_every == 0:
             print(f'epoch {epoch + 1}: loss={m["loss"]:.4f}', flush=True)
             evaluate(epoch + 1, state)
+    if args.save_params:
+        from difflinker_tpu.io.checkpoints import save_params_npz
+        save_params_npz(state['params'], args.save_params)
+        with open(args.save_params + '.config.json', 'w') as f:
+            json.dump({'hidden': args.hidden, 'layers': args.layers,
+                       'timesteps': args.timesteps, 'inpainting': True}, f)
+        print(f'saved params to {args.save_params}', flush=True)
     first, last = results[0], results[-1]
     print(f'inpainting model: validity {first["validity"]:.2%} -> '
           f'{last["validity"]:.2%}; v+c '

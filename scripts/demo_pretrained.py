@@ -30,22 +30,20 @@ def main():
     p.add_argument('--n-samples', type=int, default=1,
                    help='linkers per input molecule')
     p.add_argument('--batch-size', type=int, default=64)
-    p.add_argument('--steps', type=int, default=None,
-                   help='respace the chain (exact trained-grid subsequence)')
     p.add_argument('--out', default=None, help='write the report JSON here')
+
+    from difflinker_tpu.cli import common
+    common.add_respacing_args(p)  # --steps / --respace-mode / --resample-steps
     args = p.parse_args()
 
     import jax
-    from difflinker_tpu.cli.common import (enable_compilation_cache,
-                                           respace_config)
     from difflinker_tpu.demo import load_demo_model, recipe_val_dataset
     from difflinker_tpu.sample.sampler import LinkerSampler
     from difflinker_tpu.train.evaluation import sample_and_analyze
 
-    enable_compilation_cache()
+    common.enable_compilation_cache()
     cfg, params, meta = load_demo_model(args.params, exp_name='pretrained')
-    if args.steps:
-        cfg = respace_config(cfg, args.steps, 'subsequence')
+    cfg = common.apply_respacing(cfg, args)
     print(f'recipe: {json.dumps(meta)}', flush=True)
 
     val_ds = recipe_val_dataset(meta, args.n, seed=1)
@@ -57,6 +55,7 @@ def main():
     dt = time.time() - t0
     report = {'params': args.params, 'recipe': meta,
               'sample_T': args.steps or meta['timesteps'],
+              'resample_steps': args.resample_steps,
               'n_scored': args.n * args.n_samples,
               'validity': round(m['validity'], 4),
               'validity_and_connectivity':

@@ -17,6 +17,7 @@ MULTIFRAG = {'hidden': 32, 'layers': 1, 'timesteps': 6,
              'n_fragments': [3, 5], 'given_anchors': True}
 VLB = {'hidden': 32, 'layers': 1, 'timesteps': 6,
        'noise_schedule': 'learned', 'loss_type': 'vlb'}
+INPAINT = {'hidden': 32, 'layers': 1, 'timesteps': 6, 'inpainting': True}
 
 
 def test_recipe_config_families():
@@ -43,6 +44,10 @@ def test_recipe_config_families():
     v = recipe_config(VLB)
     assert v.diffusion.noise_schedule == 'learned'
     assert v.diffusion.loss_type == 'vlb'
+
+    i = recipe_config(INPAINT)
+    assert i.diffusion.inpainting and i.model.centering
+    assert not recipe_config(ZINC).model.centering
 
     assert recipe_config(ZINC, timesteps=3).diffusion.timesteps == 3
 
