@@ -25,6 +25,8 @@ def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--run', type=str)
     p.add_argument('--ckpt', type=str)
+    p.add_argument('--params', type=str,
+                   help='bundled demo-weights .npz (examples/params/*.npz)')
     p.add_argument('--data', type=str, default='datasets')
     p.add_argument('--prefix', type=str, default='zinc_final_val')
     p.add_argument('--synthetic', type=int, default=None)
@@ -41,7 +43,16 @@ def main(argv=None):
     common.enable_compilation_cache()
     cfg, params = load_model(args)
     if args.synthetic:
-        ds = synthetic_dataset(args.synthetic, seed=0, is_geom=cfg.data.is_geom)
+        if args.params:
+            # bundled demo weights: generate inputs the recipe was trained
+            # on (multifrag artifacts need k-fragment molecules, etc.)
+            import json
+            from difflinker_tpu.demo import recipe_val_dataset
+            with open(args.params + '.config.json') as f:
+                ds = recipe_val_dataset(json.load(f), args.synthetic, seed=0)
+        else:
+            ds = synthetic_dataset(args.synthetic, seed=0,
+                                   is_geom=cfg.data.is_geom)
     else:
         ds = LinkerDataset.from_pt(args.data, args.prefix)
 
