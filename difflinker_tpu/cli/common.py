@@ -80,9 +80,10 @@ def add_respacing_args(p):
     p.add_argument('--steps', type=int, default=None,
                    help='override the number of reverse-diffusion steps')
     p.add_argument('--resample-steps', type=int, default=1,
-                   help='inpainting models only: RePaint-style repeats per '
-                        'reverse step (harmonises generated vs replaced '
-                        'parts; chain cost scales linearly)')
+                   help='RePaint-style repeats per reverse step (re-noise + '
+                        're-denoise so the generated part harmonises with '
+                        'the conditioning part; chain cost scales linearly). '
+                        'Works on both masked-linker and inpainting models.')
     p.add_argument('--respace-mode', type=str, default='subsequence',
                    choices=['subsequence', 'rebuild'],
                    help="how --steps respaces the chain: 'subsequence' reads "
@@ -97,9 +98,6 @@ def apply_respacing(cfg, args):
     import dataclasses
     cfg = respace_config(cfg, args.steps, args.respace_mode)
     if args.resample_steps > 1:
-        if not cfg.diffusion.inpainting:
-            raise SystemExit('--resample-steps applies to inpainting '
-                             '(replace-inpainting) models only')
         cfg = dataclasses.replace(
             cfg, diffusion=dataclasses.replace(
                 cfg.diffusion, resample_steps=args.resample_steps))

@@ -146,12 +146,13 @@ class DiffusionConfig:
     norm_values: Tuple[float, float, float] = (1.0, 4.0, 10.0)
     norm_biases: Tuple[Optional[float], float, float] = (None, 0.0, 0.0)
     inpainting: bool = False
-    # Replace-inpainting resampling (RePaint, Lugmayr et al. 2022): at each
-    # reverse step run the p/q mix `resample_steps` times, re-noising
-    # z_s -> z_t between repeats, so the generated part harmonises with the
-    # replaced fragment part. 1 = the reference's plain replace-inpainting
-    # (src/edm.py:568-598). Inference-only; ignored by the masked EDM whose
-    # fragments are frozen exactly. Chain cost scales linearly with it.
+    # RePaint resampling (Lugmayr et al. 2022): at each reverse step run the
+    # transition `resample_steps` times, re-noising z_s -> z_t between
+    # repeats, so the generated part harmonises with the conditioning part.
+    # 1 = the reference's plain formulation. On the inpainting EDM the p/q
+    # mix is repeated (fragments re-q-sampled, src/edm.py:568-598); on the
+    # masked EDM only the linker is re-noised (fragments stay exactly
+    # frozen). Inference-only; chain cost scales linearly with it.
     resample_steps: int = 1
     # Final-decode mode for p(x,h|z0): 'draw' adds the sigma_0-scaled noise
     # (reference src/edm.py:210-235 semantics, the default); 'mean' takes the

@@ -283,7 +283,14 @@ class EDM:
         """One p(z_s | z_t) transition with s = s_int, t = s_int + 1
         (src/edm.py:178-208). Jit/scan-safe: s_int may be traced.
         `xh_fragments` is unused here (the fragment part of z_t is already the
-        ground truth); InpaintingEDM needs it for q-sampling."""
+        ground truth); InpaintingEDM needs it for q-sampling.
+
+        With cfg.resample_steps > 1 the transition is repeated RePaint-style:
+        between repeats the linker part of z_s is re-noised back to t
+        (z_t' = α_{t|s}·z_s + σ_{t|s}·ε on linker rows; fragment rows stay the
+        frozen ground truth), giving the linker extra chances to harmonise
+        with the conditioning fragments. A pure inference-time knob over the
+        reference formulation (same trick the inpainting variant uses)."""
         bs = z_t.shape[0]
         s = jnp.full((bs, 1), 0.0, z_t.dtype) + s_int / self.T
         t = s + 1.0 / self.T
@@ -294,18 +301,33 @@ class EDM:
             gamma_t, gamma_s)
         sigma_s = schedules.sigma_from_gamma(gamma_s)
         sigma_t = schedules.sigma_from_gamma(gamma_t)
-
-        eps_hat, nan_flag = dynamics_apply(
-            params['dynamics'], t, z_t, node_mask, linker_mask, edge_mask,
-            context, cfg=self.mcfg)
-        eps_hat = eps_hat * linker_mask
-
-        mu = z_t / alpha_tgs - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat
         sigma = sigma_tgs * sigma_s / sigma_t
-        eps = self.sample_noise(key, z_t.shape[:2], linker_mask)
-        z_s = mu + sigma * eps
-        z_s = z_t * fragment_mask + z_s * linker_mask
-        return z_s, nan_flag
+
+        def one_transition(z_t, k):
+            eps_hat, nan_flag = dynamics_apply(
+                params['dynamics'], t, z_t, node_mask, linker_mask, edge_mask,
+                context, cfg=self.mcfg)
+            eps_hat = eps_hat * linker_mask
+            mu = z_t / alpha_tgs - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat
+            eps = self.sample_noise(k, z_t.shape[:2], linker_mask)
+            z_s = mu + sigma * eps
+            return z_t * fragment_mask + z_s * linker_mask, nan_flag
+
+        r = max(int(self.cfg.resample_steps), 1)
+        if r == 1:
+            return one_transition(z_t, key)
+        nan = jnp.zeros((bs,), bool)
+        z_s = z_t
+        for j in range(r):  # static unroll; r is small
+            kj = jax.random.fold_in(key, j)
+            z_s, nan_j = one_transition(z_t, kj)
+            nan = nan | nan_j
+            if j < r - 1:
+                eps = self.sample_noise(jax.random.fold_in(kj, 7919),
+                                        z_t.shape[:2], linker_mask)
+                z_t = (z_s * fragment_mask
+                       + (alpha_tgs * z_s + sigma_tgs * eps) * linker_mask)
+        return z_s, nan
 
     def decode_z0(self, params, key, z_0, node_mask, fragment_mask,
                   linker_mask, edge_mask, context):

@@ -383,6 +383,48 @@ def test_inpainting_resampling_knob():
     assert np.abs(out1['positions'] - out3['positions']).max() > 1e-4
 
 
+def test_masked_resampling_knob():
+    """Masked-EDM resample_steps: re-noise + re-denoise the LINKER between
+    repeats while fragment rows stay exactly frozen — r=1 is bitwise the
+    reference transition; r>1 runs, stays finite, keeps one-hot and frozen-
+    fragment contracts, and changes only the linker trajectory."""
+    import dataclasses
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    from difflinker_tpu.data.collate import collate
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=6),
+        data=DataConfig(), train=TrainConfig())
+    edm1 = make_edm(cfg.model, cfg.diffusion)
+    params = edm1.init_params(jax.random.PRNGKey(0))
+    batch = collate(synthetic_molecule_dataset(3, seed=2).samples)
+
+    def run(edm, cfg_run):
+        s = LinkerSampler(cfg_run, params, edm)
+        return s.sample(batch, jax.random.PRNGKey(3),
+                        size_spec='ground_truth')
+
+    out1 = run(edm1, cfg)
+    cfg3 = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, resample_steps=3))
+    out3 = run(make_edm(cfg3.model, cfg3.diffusion), cfg3)
+    assert not out3['nan_flag'].any()
+    assert np.isfinite(out3['positions']).all()
+    assert set(np.unique(out3['one_hot'].sum(-1))) <= {0.0, 1.0}
+    # fragment rows are frozen identically in both runs...
+    frag = np.asarray(out1['fragment_mask'], bool)[..., 0] \
+        if out1['fragment_mask'].ndim == 3 else \
+        np.asarray(out1['fragment_mask'], bool)
+    np.testing.assert_array_equal(out1['positions'][frag],
+                                  out3['positions'][frag])
+    # ...while resampling changes the linker trajectory
+    link = np.asarray(out1['linker_mask'], bool)[..., 0] \
+        if out1['linker_mask'].ndim == 3 else np.asarray(out1['linker_mask'], bool)
+    assert np.abs(out1['positions'][link] - out3['positions'][link]).max() > 1e-4
+
+
 def test_final_decode_mean_knob():
     """DiffusionConfig.final_decode: 'mean' decodes p(x,h|z0) at the
     posterior mean — the final output no longer depends on the decode-noise
