@@ -2,7 +2,10 @@
 """Per-fragment-count breakdown of the multifrag model: validity and
 valid+connected grouped by k (number of fragments), plus the implied
 per-junction success rate — V+C for a k-fragment molecule requires all k-1
-linker segments to connect, so p_junction ≈ V+C^(1/(k-1)).
+linker segments to connect, so p_junction ≈ V+C^(1/(k-1)) — and success@n
+(the reference's practical protocol draws many linkers per input,
+README.md:205-215; success@n = fraction of inputs with ≥1 V+C sample among
+the n draws).
 
     python scripts/analyze_multifrag.py --params /tmp/multifrag_params.npz \
         --out docs/demo_geom_multifrag_by_k.json
@@ -24,9 +27,13 @@ def main():
     p.add_argument('--n-samples', type=int, default=2)
     p.add_argument('--steps', type=int, default=None,
                    help='respace the chain (subsequence mode)')
+    p.add_argument('--resample-steps', type=int, default=1,
+                   help='RePaint repeats per reverse step (masked-path '
+                        'harmonisation)')
     p.add_argument('--out', default=None)
     args = p.parse_args()
 
+    import dataclasses
     import jax
     from difflinker_tpu.chem import metrics
     from difflinker_tpu.chem.molgraph import build_molecules
@@ -37,11 +44,15 @@ def main():
     cfg, params, mc = load_demo_model(args.params)
     if args.steps:
         cfg = respace_config(cfg, args.steps, 'subsequence')
+    if args.resample_steps > 1:
+        cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+            cfg.diffusion, resample_steps=args.resample_steps))
 
     val_ds = recipe_val_dataset(mc, args.val_size, seed=1)
     sampler = LinkerSampler(cfg, params, pad_batch_to=64)
 
     by_k = {}
+    inputs = {}   # (b_idx, row) -> {'k': k, 'any_vc': bool}
     for b_idx, batch in enumerate(val_ds.iter_batches(64)):
         names = list(batch['name'])
         true_mols = build_molecules(batch['one_hot'], batch['positions'],
@@ -59,11 +70,20 @@ def main():
                 d = by_k.setdefault(k, {'n': 0, 'valid': 0, 'vc': 0})
                 d['n'] += 1
                 v = metrics.is_valid(pred)
+                vc = v and metrics.is_connected(pred)
                 d['valid'] += int(v)
-                d['vc'] += int(v and metrics.is_connected(pred))
+                d['vc'] += int(vc)
+                rec = inputs.setdefault((b_idx, i), {'k': k, 'any_vc': False})
+                rec['any_vc'] = rec['any_vc'] or bool(vc)
 
     report = {'sample_T': args.steps or mc['timesteps'],
-              'trained_T': mc['timesteps'], 'by_k': {}}
+              'trained_T': mc['timesteps'],
+              'resample_steps': args.resample_steps, 'by_k': {}}
+    succ_by_k = {}
+    for rec in inputs.values():
+        s = succ_by_k.setdefault(rec['k'], {'n': 0, 'hit': 0})
+        s['n'] += 1
+        s['hit'] += int(rec['any_vc'])
     tot_n = tot_v = tot_vc = 0
     for k in sorted(by_k):
         d = by_k[k]
@@ -74,13 +94,19 @@ def main():
             'valid_and_connected': round(vc_rate, 4),
             'per_junction_success': round(vc_rate ** (1 / (k - 1)), 4)
             if vc_rate > 0 else 0.0,
+            f'success_at_{args.n_samples}': round(
+                succ_by_k[k]['hit'] / succ_by_k[k]['n'], 4),
         }
         tot_n += d['n']
         tot_v += d['valid']
         tot_vc += d['vc']
     report['overall'] = {'n': tot_n,
                          'validity': round(tot_v / tot_n, 4),
-                         'valid_and_connected': round(tot_vc / tot_n, 4)}
+                         'valid_and_connected': round(tot_vc / tot_n, 4),
+                         f'success_at_{args.n_samples}': round(
+                             sum(s['hit'] for s in succ_by_k.values())
+                             / max(sum(s['n'] for s in succ_by_k.values()), 1),
+                             4)}
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, 'w') as f:
