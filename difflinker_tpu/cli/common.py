@@ -84,6 +84,10 @@ def add_respacing_args(p):
                         're-denoise so the generated part harmonises with '
                         'the conditioning part; chain cost scales linearly). '
                         'Works on both masked-linker and inpainting models.')
+    p.add_argument('--noise-scale', type=float, default=1.0,
+                   help='low-temperature sampling: scale the posterior noise '
+                        'of every reverse transition (1.0 = exact ancestral '
+                        'sampler; <1 trades diversity for validity)')
     p.add_argument('--respace-mode', type=str, default='subsequence',
                    choices=['subsequence', 'rebuild'],
                    help="how --steps respaces the chain: 'subsequence' reads "
@@ -101,6 +105,10 @@ def apply_respacing(cfg, args):
         cfg = dataclasses.replace(
             cfg, diffusion=dataclasses.replace(
                 cfg.diffusion, resample_steps=args.resample_steps))
+    if getattr(args, 'noise_scale', 1.0) != 1.0:
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, noise_scale=args.noise_scale))
     return cfg
 
 

@@ -154,6 +154,13 @@ class DiffusionConfig:
     # masked EDM only the linker is re-noised (fragments stay exactly
     # frozen). Inference-only; chain cost scales linearly with it.
     resample_steps: int = 1
+    # Low-temperature sampling: multiply the posterior noise sigma of every
+    # reverse transition (and the final p(x,h|z0) draw) by this factor.
+    # 1.0 = the reference's exact ancestral sampler; <1 trades diversity for
+    # validity/connectivity (0 degenerates to the posterior-mean chain).
+    # Prior draws (init_z) and RePaint re-noising stay at scale 1 — only the
+    # *generative* noise is cooled. Inference-only knob.
+    noise_scale: float = 1.0
     # Final-decode mode for p(x,h|z0): 'draw' adds the sigma_0-scaled noise
     # (reference src/edm.py:210-235 semantics, the default); 'mean' takes the
     # posterior mean mu_x instead. Inference-only diagnostic knob — with a

@@ -301,7 +301,7 @@ class EDM:
             gamma_t, gamma_s)
         sigma_s = schedules.sigma_from_gamma(gamma_s)
         sigma_t = schedules.sigma_from_gamma(gamma_t)
-        sigma = sigma_tgs * sigma_s / sigma_t
+        sigma = sigma_tgs * sigma_s / sigma_t * self.cfg.noise_scale
 
         def one_transition(z_t, k):
             eps_hat, nan_flag = dynamics_apply(
@@ -350,7 +350,7 @@ class EDM:
             xh = mu_x
         else:
             eps = self.sample_noise(key, z_0.shape[:2], linker_mask)
-            xh = mu_x + sigma_x * eps
+            xh = mu_x + sigma_x * self.cfg.noise_scale * eps
         xh = z_0 * fragment_mask + xh * linker_mask
 
         x, h = xh[..., :self.n_dims], xh[..., self.n_dims:]
@@ -494,7 +494,7 @@ class InpaintingEDM(EDM):
         sigma_s = schedules.sigma_from_gamma(gamma_s)
         sigma_t = schedules.sigma_from_gamma(gamma_t)
         alpha_s = schedules.alpha_from_gamma(gamma_s)
-        sigma = sigma_tgs * sigma_s / sigma_t
+        sigma = sigma_tgs * sigma_s / sigma_t * self.cfg.noise_scale
 
         def one_transition(z_t, k):
             kp, kq = jax.random.split(k)
@@ -556,10 +556,11 @@ class InpaintingEDM(EDM):
             xh_p = mu_x
             xh_q = z_0 / alpha_0
         else:
-            xh_p = mu_x + sigma_x * self.sample_noise(
+            xh_p = mu_x + sigma_x * self.cfg.noise_scale * self.sample_noise(
                 kp, z_0.shape[:2], node_mask)
             eps = self.sample_noise(kq, z_0.shape[:2], node_mask)
-            xh_q = z_0 / alpha_0 - (sigma_0 / alpha_0) * eps
+            xh_q = (z_0 / alpha_0
+                    - (sigma_0 / alpha_0) * self.cfg.noise_scale * eps)
 
         xh = xh_p * linker_mask + xh_q * fragment_mask
         x, h = xh[..., :self.n_dims], xh[..., self.n_dims:]
