@@ -48,8 +48,11 @@ def main(argv=None):
             # on (multifrag artifacts need k-fragment molecules, etc.)
             import json
             from difflinker_tpu.demo import recipe_val_dataset
+            # seed=1 is the held-out val convention everywhere (the
+            # demo_learning* scripts train on seed=0) — trajectories must
+            # not showcase memorized training inputs
             with open(args.params + '.config.json') as f:
-                ds = recipe_val_dataset(json.load(f), args.synthetic, seed=0)
+                ds = recipe_val_dataset(json.load(f), args.synthetic, seed=1)
         else:
             ds = synthetic_dataset(args.synthetic, seed=0,
                                    is_geom=cfg.data.is_geom)

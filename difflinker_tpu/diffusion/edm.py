@@ -494,7 +494,11 @@ class InpaintingEDM(EDM):
         sigma_s = schedules.sigma_from_gamma(gamma_s)
         sigma_t = schedules.sigma_from_gamma(gamma_t)
         alpha_s = schedules.alpha_from_gamma(gamma_s)
-        sigma = sigma_tgs * sigma_s / sigma_t * self.cfg.noise_scale
+        # noise_scale cools only the GENERATIVE (p-side) draw; the q-side
+        # fragment conditioning keeps the true posterior dispersion so the
+        # network sees in-distribution fragment latents (config.py contract).
+        sigma_q = sigma_tgs * sigma_s / sigma_t
+        sigma_p = sigma_q * self.cfg.noise_scale
 
         def one_transition(z_t, k):
             kp, kq = jax.random.split(k)
@@ -504,13 +508,13 @@ class InpaintingEDM(EDM):
                 context, cfg=self.mcfg)
             mu_p = (z_t / alpha_tgs
                     - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat)
-            z_p = mu_p + sigma * self.sample_noise(kp, z_t.shape[:2],
-                                                   node_mask)
+            z_p = mu_p + sigma_p * self.sample_noise(kp, z_t.shape[:2],
+                                                     node_mask)
             # q(z_s | z_t, x) for the fragment part (src/edm.py:650-670)
             mu_q = (alpha_tgs * (sigma_s ** 2) / (sigma_t ** 2) * z_t
                     + alpha_s * sigma2_tgs / (sigma_t ** 2) * xh_frag)
-            z_q = mu_q + sigma * self.sample_noise(kq, z_t.shape[:2],
-                                                   fragment_mask)
+            z_q = mu_q + sigma_q * self.sample_noise(kq, z_t.shape[:2],
+                                                     fragment_mask)
             z = z_p * linker_mask + z_q * fragment_mask
             z_x = geometry.remove_mean_with_mask(z[..., :self.n_dims],
                                                  node_mask)
@@ -558,9 +562,10 @@ class InpaintingEDM(EDM):
         else:
             xh_p = mu_x + sigma_x * self.cfg.noise_scale * self.sample_noise(
                 kp, z_0.shape[:2], node_mask)
+            # q-side fragment decode stays at scale 1 (conditioning noise,
+            # not generative noise — config.py contract)
             eps = self.sample_noise(kq, z_0.shape[:2], node_mask)
-            xh_q = (z_0 / alpha_0
-                    - (sigma_0 / alpha_0) * self.cfg.noise_scale * eps)
+            xh_q = z_0 / alpha_0 - (sigma_0 / alpha_0) * eps
 
         xh = xh_p * linker_mask + xh_q * fragment_mask
         x, h = xh[..., :self.n_dims], xh[..., self.n_dims:]

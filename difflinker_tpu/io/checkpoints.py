@@ -149,6 +149,14 @@ def load_params_npz(path: str, params_like: Dict) -> Dict:
         raise ValueError(
             f'{path} lacks {len(missing)} leaves of the template '
             f'(first: {missing[:3]}) — saved from a different model config?')
+    extra = sorted(set(z.files) - set(names))
+    if extra:
+        raise ValueError(
+            f'{path} carries {len(extra)} leaves the template has no slot '
+            f'for (first: {extra[:3]}) — e.g. a learned-gamma artifact '
+            'loaded against a fixed-schedule template; those weights would '
+            'be silently dropped. Rebuild the template from the artifact\'s '
+            '.config.json recipe.')
     new_leaves = []
     for n, (_, like) in zip(names, leaves):
         leaf = z[n]

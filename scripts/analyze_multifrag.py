@@ -58,9 +58,10 @@ def main():
         true_mols = build_molecules(batch['one_hot'], batch['positions'],
                                     batch['atom_mask'])
         for s_idx in range(args.n_samples):
+            # nested fold_in: collision-free for any (batch, draw) count
             out = sampler.sample(
-                batch, jax.random.fold_in(jax.random.PRNGKey(7),
-                                          b_idx * 100 + s_idx))
+                batch, jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(7), b_idx), s_idx))
             preds = build_molecules(out['one_hot'], out['positions'],
                                     out['node_mask'])
             for i, pred in enumerate(preds):

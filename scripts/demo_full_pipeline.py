@@ -35,21 +35,15 @@ def package_run_dir(params_path: str, run_dir: str):
     """Materialise (config.json + orbax checkpoint) from a saved .npz so the
     sampling CLIs can load it like any trained run."""
     import jax
-    from difflinker_tpu.config import (DataConfig, DiffusionConfig,
-                                       ExperimentConfig, ModelConfig,
-                                       TrainConfig)
+    from difflinker_tpu.demo import recipe_config
     from difflinker_tpu.diffusion.edm import make_edm
     from difflinker_tpu.io import checkpoints as ckpt_lib
 
     with open(params_path + '.config.json') as f:
         mc = json.load(f)
-    cfg = ExperimentConfig(
-        exp_name='pipeline_showcase',
-        model=ModelConfig(in_node_nf=8, context_node_nf=2,
-                          hidden_nf=mc['hidden'], n_layers=mc['layers'],
-                          norm_constant=1e-6),
-        diffusion=DiffusionConfig(timesteps=mc['timesteps']),
-        data=DataConfig(), train=TrainConfig())
+    # recipe_config is the single meta->recipe mapping (difflinker_tpu/demo.py)
+    # so pocket/multifrag/vlb artifacts package with their true recipe too
+    cfg = recipe_config(mc, exp_name='pipeline_showcase')
     params_like = make_edm(cfg.model, cfg.diffusion).init_params(
         jax.random.PRNGKey(0))
     params = ckpt_lib.load_params_npz(params_path, params_like)

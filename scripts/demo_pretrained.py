@@ -55,8 +55,10 @@ def main():
     dt = time.time() - t0
     report = {'params': args.params, 'recipe': meta,
               'sample_T': args.steps or meta['timesteps'],
+              'respace_mode': args.respace_mode if args.steps else None,
               'resample_steps': args.resample_steps,
-              'n_scored': args.n * args.n_samples,
+              'noise_scale': args.noise_scale,
+              'n_scored': len(val_ds.samples) * args.n_samples,
               'validity': round(m['validity'], 4),
               'validity_and_connectivity':
                   round(m['validity_and_connectivity'], 4),

@@ -79,6 +79,16 @@ def test_params_npz_roundtrip(tmp_path):
     with pytest.raises(ValueError, match='different model config'):
         ckpt_lib.load_params_npz(path, wrong_like)
 
+    # ...and so must an artifact RICHER than the template (e.g. learned-gamma
+    # weights against a fixed-schedule template): silently dropping trained
+    # leaves would fork the recipe in the other direction (review r3)
+    rich = dict(params)
+    rich['gamma_net'] = np.zeros(3, np.float32)
+    rich_path = str(tmp_path / 'rich.npz')
+    ckpt_lib.save_params_npz(rich, rich_path)
+    with pytest.raises(ValueError, match='no slot'):
+        ckpt_lib.load_params_npz(rich_path, like)
+
 
 def test_dedup_pocket_dataset():
     ds = synthetic_dataset(2, seed=0, is_geom=True, pocket_range=(4, 8))

@@ -517,3 +517,60 @@ def test_final_decode_mean_knob():
 
     c, d = decode_twice(cfg)
     assert np.abs(c - d).max() > 1e-6  # reference draw mode keeps the noise
+
+
+def test_inpainting_noise_scale_cools_only_p_side():
+    """noise_scale is a GENERATIVE-noise dial (config.py contract): on the
+    inpainting path at scale=0 the p-side draw is deterministic, but the
+    q-side fragment conditioning keeps its full posterior dispersion —
+    different keys must still produce different fragment latents (the
+    network needs in-distribution conditioning), while linker FEATURE rows
+    (untouched by the CoM re-projection) are key-independent."""
+    import dataclasses
+    import jax.numpy as jnp
+    from difflinker_tpu.data.collate import collate
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, norm_constant=1e-6, centering=True),
+        diffusion=DiffusionConfig(timesteps=6, inpainting=True,
+                                  noise_scale=0.0),
+        data=DataConfig(), train=TrainConfig())
+    edm = make_edm(cfg.model, cfg.diffusion)
+    params = edm.init_params(jax.random.PRNGKey(0))
+    batch = collate(synthetic_molecule_dataset(3, seed=2).samples)
+
+    x = jnp.asarray(batch['positions'])
+    h = jnp.asarray(batch['one_hot'])
+    xh = jnp.concatenate(edm.normalize(x, h), axis=-1)
+    masks = [jnp.asarray(batch[k])[..., None] if batch[k].ndim == 2 else
+             jnp.asarray(batch[k])
+             for k in ('atom_mask', 'fragment_mask', 'linker_mask')]
+    node_mask, fragment_mask, linker_mask = masks
+    em = jnp.asarray(batch['edge_mask']).reshape(
+        x.shape[0], x.shape[1], x.shape[1], 1)
+    anchors = jnp.asarray(batch['anchors'])
+    if anchors.ndim == 2:
+        anchors = anchors[..., None]
+    ctx = jnp.concatenate([fragment_mask, anchors], axis=-1)
+
+    xh_frag = edm._fragment_reference(xh, fragment_mask)
+    z_t = edm.init_z(jax.random.PRNGKey(1), xh, fragment_mask, linker_mask)
+
+    outs = []
+    for seed in (20, 21):
+        z_s, nan = edm.sample_step(params, jax.random.PRNGKey(seed), 2, z_t,
+                                   node_mask, fragment_mask, linker_mask,
+                                   em, ctx, xh_fragments=xh_frag)
+        assert not np.asarray(nan).any()
+        outs.append(np.asarray(z_s))
+    a, b = outs
+    frag = np.asarray(fragment_mask, bool)[..., 0]
+    link = np.asarray(linker_mask, bool)[..., 0]
+    n_dims = 3
+    # q-side (fragments) keeps posterior dispersion across keys
+    assert np.abs(a[frag] - b[frag]).max() > 1e-6
+    # p-side (linker) is cooled to the posterior mean: the feature block
+    # sees no CoM coupling, so it is bitwise key-independent at scale 0
+    np.testing.assert_array_equal(a[link][:, n_dims:], b[link][:, n_dims:])
