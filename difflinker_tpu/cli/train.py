@@ -35,6 +35,12 @@ def build_argparser():
     p.add_argument('--epochs', type=int, default=None, help='override n_epochs')
     p.add_argument('--mesh', type=int, default=None,
                    help='data-parallel devices (default: all)')
+    p.add_argument('--mesh-atoms', type=int, default=1,
+                   help='atoms mesh axis: shard node axes over this many '
+                        'devices (sequence parallelism — row-shards the '
+                        'O(N^2 H) edge activations for HBM-bound '
+                        'pocket-scale graphs; total devices = mesh * '
+                        'mesh_atoms)')
     p.add_argument('--resume', type=str, default=None,
                    help='run dir to resume from')
     p.add_argument('--synthetic', type=int, default=None,
@@ -124,7 +130,9 @@ def main(argv=None):
     eval_every = args.eval_every or cfg.train.test_epochs
 
     mesh = None
-    if args.mesh and args.mesh > 1:
+    if args.mesh_atoms > 1:
+        mesh = mesh_lib.make_mesh_2d(args.mesh or 1, args.mesh_atoms)
+    elif args.mesh and args.mesh > 1:
         mesh = mesh_lib.make_mesh(args.mesh)
     trainer = Trainer(cfg, mesh=mesh, ema_beta=args.ema,
                       adaptive_clip=args.adaptive_clip)

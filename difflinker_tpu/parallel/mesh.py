@@ -2,10 +2,20 @@
 
 The reference trains single-device (`Trainer(devices=1)`,
 train_difflinker.py:102-110); distribution is a new first-class subsystem
-here. Design (SURVEY.md §2.7): the atom axis is tiny (N ≤ ~1000), so scale
-comes from **batch data-parallelism** over a 1-D `data` mesh axis. XLA emits
-the gradient all-reduce over ICI from a `psum` inside `shard_map`; DCN is only
-for multi-host input pipelines and checkpoint IO.
+here. Design (SURVEY.md §2.7): the atom axis is small (N ≤ ~1000), so scale
+comes primarily from **batch data-parallelism** over a 1-D `data` mesh axis.
+XLA emits the gradient all-reduce over ICI from the sharding annotations;
+DCN is only for multi-host input pipelines and checkpoint IO.
+
+For pocket-scale graphs the live (B, N, N, H) edge activations are the HBM
+bottleneck (BASELINE.md: 537 MB at B=1024 ZINC; O(N²·H) growth). A 2-D
+`data × atoms` mesh additionally shards every node axis over `atoms`
+(**sequence parallelism**): GSPMD keeps the edge tensors row-sharded —
+each device holds N/a receiver rows — and inserts per-layer all-gathers of
+the (B, N, H) node features (~MBs over ICI). Pure annotation-level: the
+dense masked formulation (models/egnn.py) needs no code changes, verified
+by tests/test_atom_sharding.py (no full-size edge op survives in the
+compiled HLO).
 """
 from __future__ import annotations
 
@@ -16,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+ATOM_AXIS = 'atoms'
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -38,23 +49,102 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, axes)
 
 
+def make_mesh_2d(n_data: int, n_atoms: int) -> Mesh:
+    """data × atoms mesh: batch DP over `data`, node axes sharded over
+    `atoms` (sequence parallelism for HBM-bound pocket-scale graphs)."""
+    return make_mesh(n_data * n_atoms, axes=(DATA_AXIS, ATOM_AXIS),
+                     shape=(n_data, n_atoms))
+
+
+def atom_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or ATOM_AXIS not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[ATOM_AXIS])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def node_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, N, ...) tensors: batch over `data`, node axis over `atoms` when
+    the mesh has one (a (B, N, N, ·) edge tensor gets its RECEIVER axis
+    sharded; the sender axis stays replicated — GSPMD propagates that to
+    every O(N²) intermediate)."""
+    if atom_axis_size(mesh) > 1:
+        return NamedSharding(mesh, P(DATA_AXIS, ATOM_AXIS))
+    return batch_sharding(mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place every array in a batch dict with its leading dim sharded over
-    `data`. Non-array entries pass through."""
-    sh = batch_sharding(mesh)
+def pad_nodes_to_multiple(batch: dict, multiple: int, n_lead: int = 0) -> dict:
+    """Zero-pad every node axis in a padded-batch/template dict up to a
+    `multiple` so it divides an `atoms` mesh axis. Padded rows carry
+    node_mask 0 (and edge_mask 0), which the dense masked formulation
+    ignores by construction — numerics-exact for aggregation_method='sum'
+    (every shipped recipe); a 'mean' FC model's static per-node count would
+    shift, as with any node padding. Axes are identified by length == N
+    (N = positions.shape[n_lead+1]), the same rule batch_shardings uses;
+    `n_lead` skips unsharded leading dims (1 for stacked (S, B, ...))."""
+    if multiple <= 1:
+        return batch
+    n = int(np.asarray(batch['positions']).shape[n_lead + 1])
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return batch
     out = {}
     for k, v in batch.items():
-        if hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= 1:
-            out[k] = jax.device_put(np.asarray(v), sh)
+        if hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= n_lead + 2:
+            v = np.asarray(v)
+            pads = [(0, target - n) if ax >= n_lead + 1 and v.shape[ax] == n
+                    else (0, 0) for ax in range(v.ndim)]
+            out[k] = np.pad(v, pads) if any(p != (0, 0) for p in pads) else v
+        else:
+            out[k] = v
+    return out
+
+
+def batch_shardings(mesh: Mesh, batch: dict, n_lead: int = 0) -> dict:
+    """Per-key NamedShardings for a batch pytree: leading batch dim over
+    `data`, node axes (length == positions' N) over `atoms` when the mesh
+    has one. `n_lead` unsharded leading dims (1 for stacked (S, B, ...)
+    epoch tensors). Non-arrays map to None (replicated by jit)."""
+    lead = (None,) * n_lead
+    atoms = atom_axis_size(mesh) > 1
+    n = (int(np.asarray(batch['positions']).shape[n_lead + 1])
+         if atoms and 'positions' in batch else -1)
+    out = {}
+    for k, v in batch.items():
+        if not (hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= n_lead + 1):
+            out[k] = None
+            continue
+        spec = lead + (DATA_AXIS,)
+        if atoms and v.ndim >= n_lead + 2 and v.shape[n_lead + 1] == n:
+            if n % atom_axis_size(mesh) != 0:
+                raise ValueError(
+                    f'node axis {n} of {k!r} does not divide the {ATOM_AXIS} '
+                    f'mesh axis ({atom_axis_size(mesh)}); pad with '
+                    'pad_nodes_to_multiple (LinkerSampler does this '
+                    'automatically; trainers should pick bucket/pad-nodes '
+                    'sizes divisible by the atoms axis)')
+            spec = lead + (DATA_AXIS, ATOM_AXIS)
+        out[k] = NamedSharding(mesh, P(*spec))
+    return out
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place every array in a batch dict with its leading dim sharded over
+    `data` (and node axes over `atoms` on a 2-D mesh). Non-array entries
+    pass through."""
+    shs = batch_shardings(mesh, batch)
+    out = {}
+    for k, v in batch.items():
+        if shs.get(k) is not None:
+            out[k] = jax.device_put(np.asarray(v), shs[k])
         else:
             out[k] = v
     return out

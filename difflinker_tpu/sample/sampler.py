@@ -115,12 +115,17 @@ class LinkerSampler:
                 from difflinker_tpu.parallel import mesh as mesh_lib
                 rep = mesh_lib.replicated(self.mesh)
                 dsh = mesh_lib.batch_sharding(self.mesh)
-                outs = (dsh, dsh, dsh)
+                # (B, N, ...) tensors also shard their node axis over a 2-D
+                # data×atoms mesh (sequence parallelism; == dsh on 1-D)
+                nsh = mesh_lib.node_sharding(self.mesh)
+                outs = (nsh, nsh, dsh)  # xs, hs, per-sample nan flags
                 if keep_frames is not None:
-                    # chain is (keep_frames, B, ...): batch is axis 1
-                    outs = outs + (NamedSharding(self.mesh,
-                                                 P(None, mesh_lib.DATA_AXIS)),)
-                jitted = jax.jit(fn, in_shardings=(rep, rep) + (dsh,) * 7,
+                    # chain is (keep_frames, B, N, ...): batch is axis 1
+                    spec = (None, mesh_lib.DATA_AXIS)
+                    if mesh_lib.atom_axis_size(self.mesh) > 1:
+                        spec = spec + (mesh_lib.ATOM_AXIS,)
+                    outs = outs + (NamedSharding(self.mesh, P(*spec)),)
+                jitted = jax.jit(fn, in_shardings=(rep, rep) + (nsh,) * 7,
                                  out_shardings=outs)
             self._compiled[(shape_key, keep_frames)] = jitted
         return self._compiled[(shape_key, keep_frames)]
@@ -149,6 +154,13 @@ class LinkerSampler:
                     n_nodes = self.pad_nodes_to
             template = create_templates_for_linker_generation(
                 batch, sizes, n_nodes=n_nodes)
+
+        if self.mesh is not None:
+            # a 2-D data×atoms mesh shards node axes: zero-pad N to a
+            # multiple of the atoms axis (masked rows are free)
+            from difflinker_tpu.parallel import mesh as mesh_lib
+            template = mesh_lib.pad_nodes_to_multiple(
+                template, mesh_lib.atom_axis_size(self.mesh))
 
         n_real = int(np.asarray(template['positions']).shape[0])
         pad_to = self.pad_batch_to

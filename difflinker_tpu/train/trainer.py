@@ -218,16 +218,32 @@ class Trainer:
     def compiled_epoch_scan(self):
         if getattr(self, '_epoch_scan', None) is None:
             if self.mesh is not None:
-                rep = mesh_lib.replicated(self.mesh)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                dsh = NamedSharding(self.mesh, P(None, mesh_lib.DATA_AXIS))
-                fn = jax.jit(self.epoch_scan_step,
-                             in_shardings=(rep, dsh, rep, rep),
-                             out_shardings=(rep, rep))
+                self._epoch_scan = self._sharded_jit(self.epoch_scan_step,
+                                                     n_lead=1, n_post=2,
+                                                     out_n=2)
             else:
-                fn = jax.jit(self.epoch_scan_step)
-            self._epoch_scan = fn
+                self._epoch_scan = jax.jit(self.epoch_scan_step)
         return self._epoch_scan
+
+    def _sharded_jit(self, step, *, n_lead, n_post, out_n):
+        """jit `step(state, batch, *rest)` with mesh shardings. The batch
+        dict's shardings depend on its key set (and, on a 2-D data×atoms
+        mesh, on which axes are node axes), so compiled programs are cached
+        per key set and built lazily from the first batch seen."""
+        rep = mesh_lib.replicated(self.mesh)
+        cache = {}
+
+        def dispatch(state, batch, *rest):
+            ks = tuple(sorted(batch.keys()))
+            if ks not in cache:
+                bsh = mesh_lib.batch_shardings(self.mesh, batch,
+                                               n_lead=n_lead)
+                cache[ks] = jax.jit(
+                    step,
+                    in_shardings=(rep, bsh) + (rep,) * n_post,
+                    out_shardings=(rep,) * out_n if out_n > 1 else rep)
+            return cache[ks](state, batch, *rest)
+        return dispatch
 
     def fit_epoch_scanned(self, state: Dict, packed, batch_size: int, key,
                           shuffle: bool = True, seed: int = 0):
@@ -250,6 +266,9 @@ class Trainer:
             # wrap-pad so the whole bucket trains instead of vanishing.
             stacked, pad = wrap_pad(stacked, n_dev, axis=1)
             duplicated += pad * n_steps
+            if self.mesh is not None:
+                stacked = mesh_lib.pad_nodes_to_multiple(
+                    stacked, mesh_lib.atom_axis_size(self.mesh), n_lead=1)
             key, sub = jax.random.split(key)
             js = {k: jnp.asarray(v) for k, v in stacked.items()
                   if k in self.BATCH_KEYS}
@@ -280,26 +299,22 @@ class Trainer:
         """jit the train step; with a mesh, batches are sharded over `data`
         and params replicated — XLA emits the gradient all-reduce."""
         if self._train_step is None:
-            fn = jax.jit(self.train_step)
             if self.mesh is not None:
-                rep = mesh_lib.replicated(self.mesh)
-                dsh = mesh_lib.batch_sharding(self.mesh)
-                fn = jax.jit(
-                    self.train_step,
-                    in_shardings=(rep, dsh, rep, rep),
-                    out_shardings=(rep, rep))
-            self._train_step = fn
+                self._train_step = self._sharded_jit(self.train_step,
+                                                     n_lead=0, n_post=2,
+                                                     out_n=2)
+            else:
+                self._train_step = jax.jit(self.train_step)
         return self._train_step
 
     def compiled_eval_step(self):
         if self._eval_step is None:
-            fn = jax.jit(self.eval_step)
             if self.mesh is not None:
-                rep = mesh_lib.replicated(self.mesh)
-                dsh = mesh_lib.batch_sharding(self.mesh)
-                fn = jax.jit(self.eval_step, in_shardings=(rep, dsh, rep),
-                             out_shardings=rep)
-            self._eval_step = fn
+                self._eval_step = self._sharded_jit(self.eval_step,
+                                                    n_lead=0, n_post=1,
+                                                    out_n=1)
+            else:
+                self._eval_step = jax.jit(self.eval_step)
         return self._eval_step
 
     # -- loops -----------------------------------------------------------------
@@ -345,6 +360,8 @@ class Trainer:
             # dropped and no gradient is double-counted
             n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
             sub, pad = wrap_pad(sub, n_dev)
+            sub = mesh_lib.pad_nodes_to_multiple(
+                sub, mesh_lib.atom_axis_size(self.mesh))
             if pad and not getattr(self, '_warned_pad', False):
                 bs = next(iter(sub.values())).shape[0] - pad
                 print(f'[trainer] wrap-padding ragged batch {bs} -> '
