@@ -185,3 +185,48 @@ def test_pad_nodes_to_multiple():
     # already a multiple: no-op
     same = mesh_lib.pad_nodes_to_multiple({'positions': np.ones((2, 8, 3))}, 8)
     assert same['positions'].shape == (2, 8, 3)
+
+
+def test_atom_sharded_pocket_train_step_matches_single_device():
+    """SP's actual use case is pocket-scale graphs: the distance-graph
+    (GraphType.A4) pocket model — in-jit distance edge masks, 3-channel
+    context, CoM=anchors — trains identically on a 2×2 data×atoms mesh
+    (node axis auto-padded to the atoms multiple; the padding is loss-exact
+    because padded rows carry zero node/edge masks and aggregation='sum')."""
+    from difflinker_tpu.config import GraphType
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=32,
+                          n_layers=2, norm_constant=1e-6,
+                          graph_type=GraphType.A4),
+        diffusion=DiffusionConfig(timesteps=20),
+        data=DataConfig(family='moad', pocket_mode='full'),
+        train=TrainConfig(lr=1e-3, batch_size=4, center_of_mass='anchors'))
+    ds = synthetic_dataset(8, seed=3, is_geom=True, pocket_range=(5, 10))
+    batch = next(ds.iter_batches(4, group_by_bucket=False))
+    key0, key1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    t1 = Trainer(cfg)
+    s1 = t1.init_state(key0)
+    s1, m1 = t1.compiled_train_step()(s1, t1._device_batch(batch), key1,
+                                      jnp.inf)
+
+    mesh = mesh_lib.make_mesh_2d(2, 2)
+    n = batch['positions'].shape[1]
+    t4 = Trainer(cfg, mesh=mesh)
+    s4 = t4.init_state(key0)
+    dev_batch = t4._device_batch(batch)
+    if n % 2 == 0:
+        # padding was a no-op: the noise layout matches and the step is
+        # numerically the single-device step
+        s4, m4 = t4.compiled_train_step()(s4, dev_batch, key1,
+                                          jnp.asarray(jnp.inf))
+        np.testing.assert_allclose(float(m4['loss']), float(m1['loss']),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1['params']),
+                        jax.tree.leaves(s4['params'])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+    else:
+        s4, m4 = t4.compiled_train_step()(s4, dev_batch, key1,
+                                          jnp.asarray(jnp.inf))
+        assert np.isfinite(float(m4['loss']))
