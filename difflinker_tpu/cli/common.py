@@ -97,6 +97,32 @@ def add_respacing_args(p):
     return p
 
 
+def add_mesh_args(p):
+    """--mesh / --mesh-atoms, shared by the train and sampling CLIs. Pair
+    with build_mesh(args)."""
+    p.add_argument('--mesh', type=int, default=None,
+                   help='data-parallel devices (default: single device; '
+                        'the train CLI defaults to all)')
+    p.add_argument('--mesh-atoms', type=int, default=1,
+                   help='atoms mesh axis: shard node axes over this many '
+                        'devices (sequence parallelism — row-shards the '
+                        'O(N^2 H) edge activations for HBM-bound '
+                        'pocket-scale graphs; total devices = mesh * '
+                        'mesh_atoms)')
+    return p
+
+
+def build_mesh(args):
+    """Mesh from add_mesh_args flags: 2-D data×atoms when --mesh-atoms > 1,
+    1-D data for --mesh > 1, else None (single device)."""
+    from difflinker_tpu.parallel import mesh as mesh_lib
+    if getattr(args, 'mesh_atoms', 1) > 1:
+        return mesh_lib.make_mesh_2d(args.mesh or 1, args.mesh_atoms)
+    if getattr(args, 'mesh', None) and args.mesh > 1:
+        return mesh_lib.make_mesh(args.mesh)
+    return None
+
+
 def apply_respacing(cfg, args):
     """Apply the add_respacing_args() flags to a loaded ExperimentConfig."""
     import dataclasses

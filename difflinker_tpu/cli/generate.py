@@ -39,6 +39,7 @@ def build_argparser():
                    help='SizeClassifier .ckpt for learned size prediction')
     p.add_argument('--n-samples', type=int, default=5)
     common.add_respacing_args(p)
+    common.add_mesh_args(p)
     p.add_argument('--anchors', type=str, default=None,
                    help='comma-separated anchor atom indices (1-based)')
     p.add_argument('--out', type=str, default='output')
@@ -84,7 +85,7 @@ def main(argv=None):
     sample = fragment_sample_dict(args, is_geom)
     batch = collate([dict(sample) for _ in range(args.n_samples)])
 
-    sampler = LinkerSampler(cfg, params)
+    sampler = LinkerSampler(cfg, params, mesh=common.build_mesh(args))
     out = sampler.sample(batch, jax.random.PRNGKey(args.seed),
                          size_spec=resolve_size_spec(args, cfg),
                          recenter_output=True)

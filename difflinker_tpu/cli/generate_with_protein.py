@@ -47,6 +47,7 @@ def build_argparser(pocket_is_precut: bool = False):
     p.add_argument('--size-model', type=str, default=None)
     p.add_argument('--n-samples', type=int, default=5)
     common.add_respacing_args(p)
+    common.add_mesh_args(p)
     p.add_argument('--anchors', type=str, default=None)
     p.add_argument('--out', type=str, default='output')
     p.add_argument('--seed', type=int, default=0)
@@ -108,7 +109,7 @@ def run(args, pocket_is_precut: bool):
     sample, center = build_pocket_sample(args, pocket_is_precut)
     batch = collate([dict(sample) for _ in range(args.n_samples)])
 
-    sampler = LinkerSampler(cfg, params)
+    sampler = LinkerSampler(cfg, params, mesh=common.build_mesh(args))
     out = sampler.sample(batch, jax.random.PRNGKey(args.seed),
                          size_spec=resolve_size_spec(args, cfg),
                          recenter_output=True)

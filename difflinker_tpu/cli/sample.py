@@ -36,6 +36,7 @@ def build_argparser():
     p.add_argument('--n-samples', type=int, default=5)
     p.add_argument('--batch-size', type=int, default=64)
     common.add_respacing_args(p)
+    common.add_mesh_args(p)
     p.add_argument('--linker-size', type=str, default='ground_truth',
                    help="'ground_truth' | 'prior' | int | 'lo,hi'")
     p.add_argument('--linker-size-model', type=str, default=None,
@@ -127,7 +128,8 @@ def main(argv=None):
 
     # wrap-pad ragged tail batches to --batch-size: every bucket then reuses
     # one compiled chain shape instead of compiling per tail size
-    sampler = LinkerSampler(cfg, params, pad_batch_to=args.batch_size,
+    sampler = LinkerSampler(cfg, params, mesh=common.build_mesh(args),
+                            pad_batch_to=args.batch_size,
                             pad_nodes_to=args.pad_nodes)
     size_spec = (load_size_spec(args.linker_size_model)
                  if args.linker_size_model

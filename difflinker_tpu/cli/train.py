@@ -23,7 +23,6 @@ from difflinker_tpu.cli import common
 from difflinker_tpu.config import load_config
 from difflinker_tpu.data.datasets import LinkerDataset, synthetic_dataset
 from difflinker_tpu.io import checkpoints as ckpt_lib
-from difflinker_tpu.parallel import mesh as mesh_lib
 from difflinker_tpu.sample.sampler import LinkerSampler
 from difflinker_tpu.train.evaluation import sample_and_analyze
 from difflinker_tpu.train.trainer import Trainer
@@ -33,14 +32,7 @@ def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     common.add_config_arg(p)
     p.add_argument('--epochs', type=int, default=None, help='override n_epochs')
-    p.add_argument('--mesh', type=int, default=None,
-                   help='data-parallel devices (default: all)')
-    p.add_argument('--mesh-atoms', type=int, default=1,
-                   help='atoms mesh axis: shard node axes over this many '
-                        'devices (sequence parallelism — row-shards the '
-                        'O(N^2 H) edge activations for HBM-bound '
-                        'pocket-scale graphs; total devices = mesh * '
-                        'mesh_atoms)')
+    common.add_mesh_args(p)
     p.add_argument('--resume', type=str, default=None,
                    help='run dir to resume from')
     p.add_argument('--synthetic', type=int, default=None,
@@ -129,11 +121,7 @@ def main(argv=None):
     n_epochs = args.epochs or cfg.train.n_epochs
     eval_every = args.eval_every or cfg.train.test_epochs
 
-    mesh = None
-    if args.mesh_atoms > 1:
-        mesh = mesh_lib.make_mesh_2d(args.mesh or 1, args.mesh_atoms)
-    elif args.mesh and args.mesh > 1:
-        mesh = mesh_lib.make_mesh(args.mesh)
+    mesh = common.build_mesh(args)
     trainer = Trainer(cfg, mesh=mesh, ema_beta=args.ema,
                       adaptive_clip=args.adaptive_clip)
     mgr = ckpt_lib.CheckpointManager(run_dir)
