@@ -10,7 +10,8 @@ import pytest
 
 CLIS = ['train', 'sample', 'generate', 'generate_with_protein',
         'generate_with_pocket', 'sample_trajectories', 'train_size_gnn',
-        'compute_metrics', 'reformat', 'run_obabel', 'prepare_data']
+        'compute_metrics', 'reformat', 'run_obabel', 'prepare_data',
+        'export_checkpoint']
 
 
 @pytest.mark.parametrize('name', CLIS)
