@@ -135,6 +135,44 @@ def hparams_from_config(cfg) -> Dict:
     }
 
 
+def save_size_checkpoint(path: str, predictor, params: Dict, state: Dict,
+                         epoch: int = 0, is_geom: bool = False) -> None:
+    """Write a reference-format SizeClassifier/Ordinal/Regressor `.ckpt`
+    (src/linker_size_lightning.py:20-51: hyper_parameters + `gnn.*`
+    state_dict; SizeGNN layout = embedding_in, gcl1, gcl_layers.{i},
+    embedding_out). `predictor` is a models.size_gnn.SizePredictor;
+    `state` its BatchNorm running stats ({'gcls': [...]})."""
+    import torch
+    sd: Dict = {}
+    _linear(sd, 'gnn.embedding_in', params['embedding_in'])
+    _linear(sd, 'gnn.embedding_out', params['embedding_out'])
+    states = state.get('gcls', [None] * len(params['gcls']))
+    for i, (gp, gs) in enumerate(zip(params['gcls'], states)):
+        prefix = 'gnn.gcl1' if i == 0 else f'gnn.gcl_layers.{i - 1}'
+        _gcl(sd, prefix, gp, gs, predictor.normalization)
+    sd = {k: v.float() if v.is_floating_point() else v for k, v in sd.items()}
+    id2size = predictor.id2size
+    hp = {
+        'data_path': 'datasets',
+        'train_data_prefix': ('geom_multifrag_train' if is_geom
+                              else 'zinc_final_train'),
+        'val_data_prefix': ('geom_multifrag_val' if is_geom
+                            else 'zinc_final_val'),
+        'in_node_nf': predictor.in_node_nf,
+        'hidden_nf': predictor.hidden_nf,
+        'out_node_nf': predictor.out_node_nf,
+        'n_layers': predictor.n_layers, 'batch_size': 256, 'lr': 1e-3,
+        'torch_device': 'cpu', 'normalization': predictor.normalization,
+        'min_linker_size': min(id2size), 'task': predictor.task,
+        'linker_size2id': dict(predictor.size2id),
+        'linker_id2size': list(id2size),
+    }
+    if predictor.task == 'classification':
+        hp['loss_weights'] = None
+    torch.save({'hyper_parameters': hp, 'state_dict': sd, 'epoch': epoch},
+               path)
+
+
 def save_ddpm_checkpoint(path: str, cfg, params: Dict, epoch: int = 0) -> None:
     """Write a reference-format DiffLinker `.ckpt` from (config, params).
 

@@ -153,3 +153,33 @@ def test_hparams_ctor_complete():
     assert not missing, missing
     extra = [n for n in hp if n not in args]
     assert not extra, extra
+
+
+def test_export_size_checkpoint(tmp_path):
+    """Size-predictor export: our load_size_checkpoint roundtrips and the
+    reference's SizeGNN strict-loads the exported state_dict."""
+    from difflinker_tpu.io.lightning_export import save_size_checkpoint
+    from difflinker_tpu.io.lightning_import import load_size_checkpoint
+    from difflinker_tpu.models.size_gnn import SizePredictor
+
+    pred = SizePredictor(in_node_nf=9, hidden_nf=16, out_node_nf=10,
+                         n_layers=3, task='classification')
+    params, state = pred.init(jax.random.PRNGKey(2))
+    path = str(tmp_path / 'size.ckpt')
+    save_size_checkpoint(path, pred, params, state)
+
+    hp, params2, state2 = load_size_checkpoint(path)
+    assert hp['task'] == 'classification' and hp['n_layers'] == 3
+    assert hp['linker_id2size'][0] == 3
+    for x, y in zip(jax.tree.leaves((params, state)),
+                    jax.tree.leaves((params2, state2))):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
+
+    from src.linker_size import SizeGNN as TorchSizeGNN
+    gnn = TorchSizeGNN(in_node_nf=9, hidden_nf=16, out_node_nf=10,
+                       n_layers=3, normalization='batch_norm', device='cpu')
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    gnn.load_state_dict({k[len('gnn.'):]: v
+                         for k, v in ckpt['state_dict'].items()},
+                        strict=True)
