@@ -101,8 +101,7 @@ def add_mesh_args(p):
     """--mesh / --mesh-atoms, shared by the train and sampling CLIs. Pair
     with build_mesh(args)."""
     p.add_argument('--mesh', type=int, default=None,
-                   help='data-parallel devices (default: single device; '
-                        'the train CLI defaults to all)')
+                   help='data-parallel devices (default: single device)')
     p.add_argument('--mesh-atoms', type=int, default=1,
                    help='atoms mesh axis: shard node axes over this many '
                         'devices (sequence parallelism — row-shards the '

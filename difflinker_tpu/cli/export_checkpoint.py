@@ -32,6 +32,8 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if not args.run and not args.params:
+        raise SystemExit('pass one of --run / --params')
     args.ckpt = None  # satisfy sample.load_model's flag contract
     from difflinker_tpu.cli.sample import load_model
     cfg, params = load_model(args)

@@ -81,28 +81,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# tensors carrying a SECOND node axis ((..., N, N, ·) pairwise layout);
+# all other arrays are (..., N, features) and only pad/shard their first
+# node axis — a feature axis that coincidentally equals N (e.g. one_hot
+# with nf == N) must never be touched
+_EDGE_PAIR_KEYS = frozenset({'edge_mask'})
+
+
 def pad_nodes_to_multiple(batch: dict, multiple: int, n_lead: int = 0) -> dict:
-    """Zero-pad every node axis in a padded-batch/template dict up to a
-    `multiple` so it divides an `atoms` mesh axis. Padded rows carry
+    """Zero-pad the node axes in a padded-batch/template dict up to a
+    `multiple` so they divide an `atoms` mesh axis. Padded rows carry
     node_mask 0 (and edge_mask 0), which the dense masked formulation
     ignores by construction — numerics-exact for aggregation_method='sum'
     (every shipped recipe); a 'mean' FC model's static per-node count would
-    shift, as with any node padding. Axes are identified by length == N
-    (N = positions.shape[n_lead+1]), the same rule batch_shardings uses;
-    `n_lead` skips unsharded leading dims (1 for stacked (S, B, ...))."""
+    shift, as with any node padding. The node axis is axis n_lead+1
+    (N = positions.shape[n_lead+1]); only _EDGE_PAIR_KEYS additionally pad
+    axis n_lead+2. `n_lead` skips unsharded leading dims (1 for stacked
+    (S, B, ...))."""
     if multiple <= 1:
         return batch
     n = int(np.asarray(batch['positions']).shape[n_lead + 1])
     target = -(-n // multiple) * multiple
     if target == n:
         return batch
+    ax = n_lead + 1
     out = {}
     for k, v in batch.items():
-        if hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= n_lead + 2:
+        if (hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= ax + 1
+                and np.shape(v)[ax] == n):
             v = np.asarray(v)
-            pads = [(0, target - n) if ax >= n_lead + 1 and v.shape[ax] == n
-                    else (0, 0) for ax in range(v.ndim)]
-            out[k] = np.pad(v, pads) if any(p != (0, 0) for p in pads) else v
+            pads = [(0, 0)] * v.ndim
+            pads[ax] = (0, target - n)
+            if (k in _EDGE_PAIR_KEYS and v.ndim >= ax + 2
+                    and v.shape[ax + 1] == n):
+                pads[ax + 1] = (0, target - n)
+            out[k] = np.pad(v, pads)
         else:
             out[k] = v
     return out

@@ -185,6 +185,18 @@ def test_pad_nodes_to_multiple():
     # already a multiple: no-op
     same = mesh_lib.pad_nodes_to_multiple({'positions': np.ones((2, 8, 3))}, 8)
     assert same['positions'].shape == (2, 8, 3)
+    # a FEATURE axis that coincidentally equals N must not be padded
+    # (GEOM one_hot has nf=9; a 9-atom bucket once corrupted it to (B,10,10))
+    geom = {'positions': np.ones((4, 9, 3)), 'one_hot': np.ones((4, 9, 9)),
+            'atom_mask': np.ones((4, 9, 1)),
+            'edge_mask': np.ones((4, 9, 9, 1))}
+    out3 = mesh_lib.pad_nodes_to_multiple(geom, 2)
+    assert out3['one_hot'].shape == (4, 10, 9)
+    assert out3['positions'].shape == (4, 10, 3)
+    assert out3['edge_mask'].shape == (4, 10, 10, 1)
+    # ...and a 3-atom sample must not pad the coordinate axis
+    tiny = {'positions': np.ones((2, 3, 3))}
+    assert mesh_lib.pad_nodes_to_multiple(tiny, 2)['positions'].shape == (2, 4, 3)
 
 
 def test_atom_sharded_pocket_train_step_matches_single_device():
