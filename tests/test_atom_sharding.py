@@ -242,3 +242,30 @@ def test_atom_sharded_pocket_train_step_matches_single_device():
         s4, m4 = t4.compiled_train_step()(s4, dev_batch, key1,
                                           jnp.asarray(jnp.inf))
         assert np.isfinite(float(m4['loss']))
+
+
+def test_atom_sharded_inpainting_matches_single_device():
+    """InpaintingEDM's chain re-projects the CoM across ALL nodes every step
+    (a cross-shard reduction under atom sharding) and q-mixes fragment rows
+    — the 2-D mesh must reproduce the single-device chain exactly."""
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, centering=True),
+        diffusion=dataclasses.replace(cfg.diffusion, inpainting=True,
+                                      timesteps=6))
+    edm = make_edm(cfg.model, cfg.diffusion)
+    params = edm.init_params(jax.random.PRNGKey(0))
+    ds = synthetic_dataset(4, seed=0)
+    batch = next(ds.iter_batches(4, group_by_bucket=False))
+    assert batch['positions'].shape[1] % 4 == 0
+
+    ref = LinkerSampler(cfg, params, edm).sample(batch, jax.random.PRNGKey(7))
+    mesh = mesh_lib.make_mesh_2d(2, 4)
+    out = LinkerSampler(cfg, params, edm, mesh=mesh).sample(
+        batch, jax.random.PRNGKey(7))
+    assert not out['nan_flag'].any()
+    np.testing.assert_allclose(out['positions'], ref['positions'],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(out['one_hot'], ref['one_hot'])
