@@ -115,8 +115,15 @@ def main(argv=None):
                    f'val_acc={correct / max(total, 1):.3f}')
 
     os.makedirs(args.out, exist_ok=True)
-    save_params_npz({'params': params, 'bn_state': bn_state},
-                    os.path.join(args.out, f'size_gnn_{args.task}.npz'))
+    npz_path = os.path.join(args.out, f'size_gnn_{args.task}.npz')
+    save_params_npz({'params': params, 'bn_state': bn_state}, npz_path)
+    # recipe sidecar (same convention as the demo weights): enough to
+    # rebuild the SizePredictor, e.g. for cli.export_checkpoint --size-npz
+    import json
+    with open(npz_path + '.config.json', 'w') as f:
+        json.dump({'task': args.task, 'hidden': args.hidden,
+                   'layers': args.layers, 'in_node_nf': in_nf,
+                   'out_node_nf': len(id2size), 'geom': bool(args.geom)}, f)
     common.log(f'saved to {args.out}')
     return 0
 
