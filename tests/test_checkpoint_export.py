@@ -183,3 +183,30 @@ def test_export_size_checkpoint(tmp_path):
     gnn.load_state_dict({k[len('gnn.'):]: v
                          for k, v in ckpt['state_dict'].items()},
                         strict=True)
+
+
+def test_export_size_cli_from_npz(tmp_path):
+    """cli.export_checkpoint --size-npz: a train_size_gnn artifact (npz +
+    recipe sidecar) exports to a .ckpt our size importer accepts."""
+    import json
+    from difflinker_tpu.cli import export_checkpoint
+    from difflinker_tpu.io.checkpoints import save_params_npz
+    from difflinker_tpu.io.lightning_import import load_size_checkpoint
+    from difflinker_tpu.models.size_gnn import SizePredictor
+
+    pred = SizePredictor(in_node_nf=8, hidden_nf=16, out_node_nf=10,
+                         n_layers=2, task='ordinal')
+    params, state = pred.init(jax.random.PRNGKey(4))
+    npz = str(tmp_path / 'size_gnn_ordinal.npz')
+    save_params_npz({'params': params, 'bn_state': state}, npz)
+    with open(npz + '.config.json', 'w') as f:
+        json.dump({'task': 'ordinal', 'hidden': 16, 'layers': 2,
+                   'in_node_nf': 8, 'out_node_nf': 10, 'geom': False}, f)
+    out = str(tmp_path / 'size.ckpt')
+    assert export_checkpoint.main(['--size-npz', npz, '--out', out]) == 0
+    hp, params2, state2 = load_size_checkpoint(out)
+    assert hp['task'] == 'ordinal'
+    for x, y in zip(jax.tree.leaves((params, state)),
+                    jax.tree.leaves((params2, state2))):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
