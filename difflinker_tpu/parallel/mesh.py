@@ -128,7 +128,9 @@ def batch_shardings(mesh: Mesh, batch: dict, n_lead: int = 0) -> dict:
     epoch tensors). Non-arrays map to None (replicated by jit)."""
     lead = (None,) * n_lead
     atoms = atom_axis_size(mesh) > 1
-    n = (int(np.asarray(batch['positions']).shape[n_lead + 1])
+    # shape only — never materialise (multi-host globally-sharded arrays
+    # cannot be converted to a host ndarray)
+    n = (int(np.shape(batch['positions'])[n_lead + 1])
          if atoms and 'positions' in batch else -1)
     out = {}
     for k, v in batch.items():

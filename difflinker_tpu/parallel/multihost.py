@@ -49,14 +49,22 @@ def global_batches(local_batches: Iterator[Dict], mesh) -> Iterator[Dict]:
 
     Each host supplies its local slice of the global batch (local batch size
     = global / process_count); the result is addressable per-device and valid
-    as input to a jitted step with batch sharding over `data`.
+    as input to a jitted step with batch sharding over `data`. On a 2-D
+    data×atoms mesh the node axes additionally shard over `atoms` (the
+    atoms axis must stay within each host's devices so the per-host slice
+    covers all of its addressable shards); ragged node axes are zero-padded
+    to the atoms multiple first.
     """
-    sharding = mesh_lib.batch_sharding(mesh)
     for batch in local_batches:
+        if 'positions' in batch:
+            batch = mesh_lib.pad_nodes_to_multiple(
+                batch, mesh_lib.atom_axis_size(mesh))
+        shardings = mesh_lib.batch_shardings(mesh, batch)
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.ndim >= 1:
-                out[k] = jax.make_array_from_process_local_data(sharding, v)
+                out[k] = jax.make_array_from_process_local_data(
+                    shardings[k], v)
             else:
                 out[k] = v
         yield out

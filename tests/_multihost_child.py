@@ -52,9 +52,25 @@ def main():
 
     checksum = float(sum(jnp.sum(jnp.abs(l))
                          for l in jax.tree.leaves(state['params'])))
+
+    # DP x SP: the same step on a 2-D (data=2 hosts) x (atoms=4 intra-host)
+    # mesh — multi-host input over DCN composed with sequence parallelism
+    # over the (virtual) ICI. Numerics must match the pure-DP step.
+    mesh2 = mesh_lib.make_mesh_2d(2, 4)
+    gb2 = next(multihost.global_batches(iter([local]), mesh2))
+    trainer2 = Trainer(_flagship_cfg(tiny=True), mesh=mesh2)
+    state2 = trainer2.init_state(jax.random.PRNGKey(0))
+    state2, metrics2 = trainer2.compiled_train_step()(
+        state2, gb2, jax.random.PRNGKey(1), jnp.inf)
+    jax.block_until_ready(metrics2['loss'])
+    checksum2 = float(sum(jnp.sum(jnp.abs(l))
+                          for l in jax.tree.leaves(state2['params'])))
+
     print(json.dumps({'loss': float(metrics['loss']),
                       'step': int(state['step']),
-                      'checksum': checksum}))
+                      'checksum': checksum,
+                      'loss_dpsp': float(metrics2['loss']),
+                      'checksum_dpsp': checksum2}))
     jax.distributed.shutdown()
 
 

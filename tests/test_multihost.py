@@ -65,6 +65,11 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(results[0]['checksum'], ref_checksum,
                                rtol=1e-5)
     assert results[0]['step'] == 1
+    # the DP x SP (2 hosts x 4-way atom sharding) leg matches the same
+    # numbers — multi-host input composes with sequence parallelism
+    np.testing.assert_allclose(results[0]['loss_dpsp'], ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(results[0]['checksum_dpsp'], ref_checksum,
+                               rtol=1e-5)
 
 
 def test_host_shard_indices_single_process():
