@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import List
 
-import numpy as np
-
 from difflinker_tpu.dataprep.fragmentation import (
     combine_fragments, get_anchors_idx, prepare_fragments_and_linker)
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from difflinker_tpu.config import GraphType, ModelConfig

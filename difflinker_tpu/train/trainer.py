@@ -9,7 +9,6 @@ gradient all-reduce over ICI).
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, Iterator, Optional
 
 import jax
