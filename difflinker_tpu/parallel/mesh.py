@@ -88,7 +88,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 _EDGE_PAIR_KEYS = frozenset({'edge_mask'})
 
 
-def pad_nodes_to_multiple(batch: dict, multiple: int, n_lead: int = 0) -> dict:
+def pad_nodes_to_multiple(batch: dict, multiple: int, n_lead: int = 0,
+                          min_nodes: int = 0) -> dict:
     """Zero-pad the node axes in a padded-batch/template dict up to a
     `multiple` so they divide an `atoms` mesh axis. Padded rows carry
     node_mask 0 (and edge_mask 0), which the dense masked formulation
@@ -97,11 +98,19 @@ def pad_nodes_to_multiple(batch: dict, multiple: int, n_lead: int = 0) -> dict:
     shift, as with any node padding. The node axis is axis n_lead+1
     (N = positions.shape[n_lead+1]); only _EDGE_PAIR_KEYS additionally pad
     axis n_lead+2. `n_lead` skips unsharded leading dims (1 for stacked
-    (S, B, ...))."""
-    if multiple <= 1:
+    (S, B, ...)). `min_nodes` raises the floor before rounding (multi-host
+    callers pass the cross-host max so every process pads to one shape).
+
+    Padding materialises arrays host-side, so inputs must be process-local
+    (ndarrays / single-host jax arrays); the shape probe itself never
+    materialises, so already-conforming globally-sharded batches pass
+    through untouched."""
+    if multiple <= 1 and min_nodes <= 0:
         return batch
-    n = int(np.asarray(batch['positions']).shape[n_lead + 1])
-    target = -(-n // multiple) * multiple
+    n = int(np.shape(batch['positions'])[n_lead + 1])
+    target = max(n, min_nodes)
+    if multiple > 1:
+        target = -(-target // multiple) * multiple
     if target == n:
         return batch
     ax = n_lead + 1

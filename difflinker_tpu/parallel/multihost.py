@@ -52,13 +52,18 @@ def global_batches(local_batches: Iterator[Dict], mesh) -> Iterator[Dict]:
     as input to a jitted step with batch sharding over `data`. On a 2-D
     data×atoms mesh the node axes additionally shard over `atoms` (the
     atoms axis must stay within each host's devices so the per-host slice
-    covers all of its addressable shards); ragged node axes are zero-padded
-    to the atoms multiple first.
+    covers all of its addressable shards). Hosts whose bucket padding
+    produced different node counts for the same step would otherwise
+    assemble divergent "global" shapes (and trace divergent programs), so
+    every batch's node axis is agreed cross-host (max over processes) and
+    zero-padded to that count rounded up to the atoms multiple.
     """
     for batch in local_batches:
         if 'positions' in batch:
+            n_local = int(np.shape(batch['positions'])[1])
+            n_global = _allreduce_max_nodes(n_local)
             batch = mesh_lib.pad_nodes_to_multiple(
-                batch, mesh_lib.atom_axis_size(mesh))
+                batch, mesh_lib.atom_axis_size(mesh), min_nodes=n_global)
         shardings = mesh_lib.batch_shardings(mesh, batch)
         out = {}
         for k, v in batch.items():
@@ -68,6 +73,21 @@ def global_batches(local_batches: Iterator[Dict], mesh) -> Iterator[Dict]:
             else:
                 out[k] = v
         yield out
+
+
+def _allreduce_max_nodes(n_local: int) -> int:
+    """Cross-process max of a host-local node count (no-op single-process).
+
+    One tiny DCN collective per batch — negligible next to the batch
+    transfer, and it is what lets ragged per-host bucket padding compose
+    with a shared global shape (all hosts must call this the same number
+    of times, which iterating the same dataloader recipe guarantees)."""
+    if jax.process_count() == 1:
+        return n_local
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.asarray([n_local], dtype=np.int32))
+    return int(np.max(gathered))
 
 
 def is_primary() -> bool:

@@ -29,8 +29,6 @@ def main():
     from difflinker_tpu.parallel import mesh as mesh_lib
     from difflinker_tpu.train.trainer import Trainer
 
-    mesh = mesh_lib.make_mesh(8)
-
     # Every host can build the full deterministic batch; each keeps only the
     # rows its own devices host (global row r lives on global device r with
     # 1-row-per-device batch sharding).
@@ -41,36 +39,26 @@ def main():
     idx = multihost.host_shard_indices(8)
     assert len(idx) == 4 and (idx % 2 == proc_id).all()
 
-    gb = next(multihost.global_batches(iter([local]), mesh))
-    assert gb['positions'].shape[0] == 8  # logically global
+    # One identical step body on two meshes: pure DP, and DP x SP (2-D
+    # (data=2 hosts) x (atoms=4 intra-host) — multi-host input over DCN
+    # composed with sequence parallelism over the virtual ICI). The parent
+    # asserts the two legs' numerics match.
+    out = {}
+    for tag, mesh in (('', mesh_lib.make_mesh(8)),
+                      ('_dpsp', mesh_lib.make_mesh_2d(2, 4))):
+        gb = next(multihost.global_batches(iter([local]), mesh))
+        assert gb['positions'].shape[0] == 8  # logically global
+        trainer = Trainer(_flagship_cfg(tiny=True), mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, metrics = trainer.compiled_train_step()(
+            state, gb, jax.random.PRNGKey(1), jnp.inf)
+        jax.block_until_ready(metrics['loss'])
+        out['loss' + tag] = float(metrics['loss'])
+        out['checksum' + tag] = float(sum(
+            jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(state['params'])))
+        out.setdefault('step', int(state['step']))
 
-    trainer = Trainer(_flagship_cfg(tiny=True), mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    step = trainer.compiled_train_step()
-    state, metrics = step(state, gb, jax.random.PRNGKey(1), jnp.inf)
-    jax.block_until_ready(metrics['loss'])
-
-    checksum = float(sum(jnp.sum(jnp.abs(l))
-                         for l in jax.tree.leaves(state['params'])))
-
-    # DP x SP: the same step on a 2-D (data=2 hosts) x (atoms=4 intra-host)
-    # mesh — multi-host input over DCN composed with sequence parallelism
-    # over the (virtual) ICI. Numerics must match the pure-DP step.
-    mesh2 = mesh_lib.make_mesh_2d(2, 4)
-    gb2 = next(multihost.global_batches(iter([local]), mesh2))
-    trainer2 = Trainer(_flagship_cfg(tiny=True), mesh=mesh2)
-    state2 = trainer2.init_state(jax.random.PRNGKey(0))
-    state2, metrics2 = trainer2.compiled_train_step()(
-        state2, gb2, jax.random.PRNGKey(1), jnp.inf)
-    jax.block_until_ready(metrics2['loss'])
-    checksum2 = float(sum(jnp.sum(jnp.abs(l))
-                          for l in jax.tree.leaves(state2['params'])))
-
-    print(json.dumps({'loss': float(metrics['loss']),
-                      'step': int(state['step']),
-                      'checksum': checksum,
-                      'loss_dpsp': float(metrics2['loss']),
-                      'checksum_dpsp': checksum2}))
+    print(json.dumps(out))
     jax.distributed.shutdown()
 
 

@@ -197,6 +197,17 @@ def test_pad_nodes_to_multiple():
     # ...and a 3-atom sample must not pad the coordinate axis
     tiny = {'positions': np.ones((2, 3, 3))}
     assert mesh_lib.pad_nodes_to_multiple(tiny, 2)['positions'].shape == (2, 4, 3)
+    # min_nodes raises the floor before rounding (multi-host cross-host max);
+    # it applies even when the local N already divides the multiple
+    out4 = mesh_lib.pad_nodes_to_multiple(batch, 8, min_nodes=18)
+    assert out4['positions'].shape == (2, 24, 3)
+    assert out4['edge_mask'].shape == (2, 24, 24, 1)
+    out5 = mesh_lib.pad_nodes_to_multiple(
+        {'positions': np.ones((2, 8, 3))}, 8, min_nodes=8)
+    assert out5['positions'].shape == (2, 8, 3)
+    out6 = mesh_lib.pad_nodes_to_multiple(
+        {'positions': np.ones((2, 8, 3))}, 1, min_nodes=11)
+    assert out6['positions'].shape == (2, 11, 3)
 
 
 def test_atom_sharded_pocket_train_step_matches_single_device():

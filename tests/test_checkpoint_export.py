@@ -25,6 +25,17 @@ from difflinker_tpu.models.dynamics import dynamics_apply  # noqa: E402
 from conftest import make_batch  # noqa: E402
 
 
+def _assert_tree_equal(tree_a, tree_b):
+    """Bitwise leaf equality with a leaf-count guard (a bare zip would
+    silently truncate if an importer ever dropped leaves)."""
+    leaves_a = jax.tree.leaves(tree_a)
+    leaves_b = jax.tree.leaves(tree_b)
+    assert len(leaves_a) == len(leaves_b), (len(leaves_a), len(leaves_b))
+    for x, y in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
+
+
 def _cfg(**diff_kw):
     return ExperimentConfig(
         exp_name='export_test',
@@ -129,9 +140,7 @@ def test_export_learned_gamma(tmp_path):
     # and our importer round-trips the whole model
     cfg2, params2 = load_ddpm_checkpoint(path)
     assert cfg2.diffusion.noise_schedule == 'learned'
-    for x, y in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
-        np.testing.assert_array_equal(np.asarray(x, np.float32),
-                                      np.asarray(y, np.float32))
+    _assert_tree_equal(params, params2)
 
 
 def test_hparams_ctor_complete():
@@ -171,10 +180,7 @@ def test_export_size_checkpoint(tmp_path):
     hp, params2, state2 = load_size_checkpoint(path)
     assert hp['task'] == 'classification' and hp['n_layers'] == 3
     assert hp['linker_id2size'][0] == 3
-    for x, y in zip(jax.tree.leaves((params, state)),
-                    jax.tree.leaves((params2, state2))):
-        np.testing.assert_array_equal(np.asarray(x, np.float32),
-                                      np.asarray(y, np.float32))
+    _assert_tree_equal((params, state), (params2, state2))
 
     from src.linker_size import SizeGNN as TorchSizeGNN
     gnn = TorchSizeGNN(in_node_nf=9, hidden_nf=16, out_node_nf=10,
@@ -206,7 +212,4 @@ def test_export_size_cli_from_npz(tmp_path):
     assert export_checkpoint.main(['--size-npz', npz, '--out', out]) == 0
     hp, params2, state2 = load_size_checkpoint(out)
     assert hp['task'] == 'ordinal'
-    for x, y in zip(jax.tree.leaves((params, state)),
-                    jax.tree.leaves((params2, state2))):
-        np.testing.assert_array_equal(np.asarray(x, np.float32),
-                                      np.asarray(y, np.float32))
+    _assert_tree_equal((params, state), (params2, state2))
