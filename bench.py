@@ -19,7 +19,10 @@ these shapes (docs/ARCHITECTURE.md §5 has the full tables; exact-coverage
 tile merely ties dense). The K-neighbor sparse path (ModelConfig.neighbor_k)
 remains the opt-in for very large pockets (N >= 512).
 """
+import glob
 import json
+import os
+import re
 import sys
 import time
 
@@ -178,6 +181,53 @@ def _pocket_train_batch(B, N, n_lig=40, n_pocket=160):
             'fragment_only_mask': frag_only, 'pocket_mask': pocket}
 
 
+def _previous_bench():
+    """Parsed result dict of the newest BENCH_r{N}.json the driver recorded,
+    or None — the regression guard's comparison point."""
+    best_n, best = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, 'BENCH_r*.json')):
+        m = re.search(r'BENCH_r(\d+)\.json$', p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = rec.get('parsed')
+        if parsed and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), parsed
+    return best
+
+
+def _regressions(result, prev, threshold=0.10):
+    """Entries whose throughput dropped > threshold vs the previous round."""
+    pairs = [
+        ('headline', result.get('value'), prev.get('value')),
+        ('pocket', result.get('pocket', {}).get('value'),
+         prev.get('pocket', {}).get('value')),
+        ('respaced_T50', result.get('respaced_T50', {}).get('value'),
+         prev.get('respaced_T50', {}).get('value')),
+        ('pocket_n512_sparse',
+         result.get('pocket_n512_sparse', {}).get('value'),
+         prev.get('pocket_n512_sparse', {}).get('value')),
+        ('train.zinc', result.get('train', {}).get('zinc', {}).get('value'),
+         prev.get('train', {}).get('zinc', {}).get('value')),
+        ('train.pocket',
+         result.get('train', {}).get('pocket', {}).get('value'),
+         prev.get('train', {}).get('pocket', {}).get('value')),
+    ]
+    out = []
+    for name, now, before in pairs:
+        if now is None or before is None or before <= 0:
+            continue
+        if now < (1.0 - threshold) * before:
+            out.append({'entry': name, 'now': now, 'prev': before,
+                        'drop_pct': round(100 * (1 - now / before), 1)})
+    return out
+
+
 def main():
     import jax
 
@@ -218,6 +268,20 @@ def main():
     p_lps, p_dt = _chain_throughput(pedm, pparams, p_inputs, Bp, runs=2)
     p_fl = flops_lib.chain_flops(Bp, Np, T, pcfg)
 
+    # -- sparse-K large-pocket line: N=512 (the regime where the K-neighbor
+    # layout beats dense — ARCHITECTURE.md §5 item 3 measured 1.5×/3.2× at
+    # N=512/1024; this standing entry keeps that path regression-guarded)
+    Bs, Ns = 8, 512
+    s_inputs = _pocket_inputs(Bs, Ns, n_lig=40, n_pocket=440)
+    s_cfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
+                        n_layers=6, inv_sublayers=2, norm_constant=1e-6,
+                        graph_type=GraphType.A4, dtype='bfloat16',
+                        neighbor_k=32)
+    sedm = make_edm(s_cfg, DiffusionConfig(timesteps=T))
+    sparams = sedm.init_params(jax.random.PRNGKey(0))
+    s_lps, s_dt = _chain_throughput(sedm, sparams, s_inputs, Bs, runs=2)
+    s_fl = flops_lib.chain_flops(Bs, Ns, T, s_cfg)
+
     # -- respaced line: same ZINC model sampled at T=50 ----------------------
     # Ancestral subsequence respacing (--steps). Quality is measured flat
     # down to T=50 on a trained model (BASELINE.md "Respaced sampling",
@@ -240,7 +304,7 @@ def main():
     pt_remat = resolve_remat(pcfg, (Bp, Np))
     pt_fl = flops_lib.train_step_flops(Bp, Np, pcfg, remat=pt_remat)
 
-    print(json.dumps({
+    result = {
         'metric': f'linker sampling throughput (T={T}, B={B}, N={N}, '
                   f'ZINC 8x128 EGNN bf16, {kind})',
         'value': round(linkers_per_sec, 2),
@@ -258,6 +322,16 @@ def main():
             'impl': p_impl,
             'tflops': round(p_fl / p_dt / 1e12, 2),
             'mfu': round(p_fl / p_dt / peak16, 4) if peak16 else None,
+        },
+        'pocket_n512_sparse': {
+            'metric': f'large-pocket 4A sampling, sparse-K layout (T={T}, '
+                      f'B={Bs}, N={Ns}, K=32, 6x128 EGNN bf16)',
+            'value': round(s_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'impl': 'sparse-K (neighbor_lists + gather; exact when K >= max '
+                    'degree — ARCHITECTURE.md §5 item 3)',
+            'tflops': round(s_fl / s_dt / 1e12, 2),
+            'mfu': round(s_fl / s_dt / peak16, 4) if peak16 else None,
         },
         'respaced_T50': {
             'metric': f'same model, --steps 50 (quality flat to T=50, '
@@ -283,8 +357,21 @@ def main():
                 'mfu': round(pt_fl / pt_dt / peak16, 4) if peak16 else None,
             },
         },
-    }))
-    return 0
+    }
+    # Regression guard (VERDICT r3 item 5): any standing entry dropping >10%
+    # vs the newest recorded BENCH_r{N}.json fails the run loudly (rc=1; the
+    # driver records rc alongside the JSON).
+    rc = 0
+    prev = _previous_bench()
+    if prev is not None:
+        regs = _regressions(result, prev)
+        if regs:
+            result['regression_vs_prev'] = regs
+            print(f'bench REGRESSION vs previous round: {regs}',
+                  file=sys.stderr)
+            rc = 1
+    print(json.dumps(result))
+    return rc
 
 
 if __name__ == '__main__':

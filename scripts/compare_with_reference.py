@@ -19,6 +19,40 @@ import sys
 
 import numpy as np
 
+# North-star tolerances (BASELINE.json: "matching ZINC validity/uniqueness
+# within 1%" + RMSD "within numerical tolerance"). Values are absolute
+# percentage points for rate metrics, Angstrom for RMSD.
+TOLERANCES = {
+    'validity': 1.0,
+    'uniqueness': 1.0,
+    'validity_and_connectivity': 1.0,
+    'novelty': 1.0,
+    'rmsd': 0.05,
+}
+
+
+def baseline_comparison(ckpt: str, ours: dict, reference: dict) -> dict:
+    """The exact BASELINE.json north-star comparison record: per-metric
+    deltas vs the reference-side numbers and pass/fail at the published
+    tolerances. `reference` keys must use the same metric names as
+    sample_and_analyze / cli.compute_metrics output."""
+    shared = sorted(set(ours) & set(reference))
+    deltas = {k: float(ours[k]) - float(reference[k]) for k in shared}
+    checks = {k: abs(deltas[k]) <= TOLERANCES[k]
+              for k in shared if k in TOLERANCES}
+    return {
+        'schema': 'baseline-comparison-v1',
+        'north_star': ('reference checkpoints load and reproduce validity/'
+                       'uniqueness/RMSD within tolerance (BASELINE.json)'),
+        'checkpoint': ckpt,
+        'ours': {k: float(v) for k, v in ours.items()},
+        'reference': {k: float(v) for k, v in reference.items()},
+        'deltas': deltas,
+        'tolerances': {k: TOLERANCES[k] for k in checks},
+        'pass': checks,
+        'all_pass': bool(checks) and all(checks.values()),
+    }
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -28,6 +62,12 @@ def main():
     p.add_argument('--n-inputs', type=int, default=50)
     p.add_argument('--n-samples', type=int, default=10)
     p.add_argument('--reference', default='/root/reference')
+    p.add_argument('--reference-metrics', default=None,
+                   help='JSON file of reference-side metric values (same '
+                        'keys as our output); enables the BASELINE.json '
+                        'comparison record')
+    p.add_argument('--out', default=None,
+                   help='write the comparison record to this JSON file')
     p.add_argument('--seed', type=int, default=0)
     args = p.parse_args()
 
@@ -96,6 +136,18 @@ def main():
         is_geom=cfg.data.is_geom)
     print(json.dumps({k: round(float(v), 4) for k, v in results.items()},
                      indent=2))
+
+    # --- step 3: BASELINE.json north-star comparison record -----------------
+    if args.reference_metrics:
+        with open(args.reference_metrics) as f:
+            ref_metrics = json.load(f)
+        record = baseline_comparison(args.ckpt, results, ref_metrics)
+        print(json.dumps(record, indent=2))
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(record, f, indent=2)
+            print(f'comparison record written to {args.out}')
+        return 0 if record['all_pass'] else 2
     return 0
 
 
