@@ -34,12 +34,24 @@ def main():
                    help='diffusion T (reference flagship trains at 500)')
     p.add_argument('--save-params', type=str, default=None,
                    help='save final params as .npz (io.checkpoints.save_params_npz)')
+    p.add_argument('--config', type=str, default=None,
+                   help='configs/*.yml whose model/diffusion shape drives the '
+                        'demo (e.g. configs/zinc_difflinker_wide.yml — the '
+                        'TPU-recommended wide recipe); data stays synthetic')
     args = p.parse_args()
 
     import jax
     from difflinker_tpu.config import (DataConfig, DiffusionConfig,
                                        ExperimentConfig, ModelConfig,
-                                       TrainConfig)
+                                       TrainConfig, load_config)
+
+    if args.config:
+        loaded = load_config(args.config)
+        args.hidden = loaded.model.hidden_nf
+        args.layers = loaded.model.n_layers
+        args.timesteps = loaded.diffusion.timesteps
+        print(f'config {args.config}: {args.layers}x{args.hidden} '
+              f'T={args.timesteps}', flush=True)
     from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
     from difflinker_tpu.sample.sampler import LinkerSampler
     from difflinker_tpu.train.evaluation import sample_and_analyze

@@ -13,7 +13,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.parametrize('path', sorted(glob.glob(os.path.join(REPO, 'configs/*.yml'))))
 def test_native_configs_load(path):
     cfg = load_config(path)
-    assert cfg.model.hidden_nf == 128
+    if path.endswith('_wide.yml'):
+        # the TPU-recommended wide family (BASELINE.md width studies)
+        assert cfg.model.hidden_nf in (256, 384)
+        assert cfg.model.n_layers == 6
+    else:
+        assert cfg.model.hidden_nf == 128
     assert cfg.diffusion.timesteps == 500
     # context width consistent with flags
     expected = 1 + int(cfg.train.anchors_context) + int(cfg.data.has_pocket)
