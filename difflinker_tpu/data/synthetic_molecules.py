@@ -61,7 +61,8 @@ def _grow_segment(rng, types, positions, parents, n_new, attach_idx):
 
 
 def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
-                         uuid: int = 0, n_linker_fn=None) -> Optional[Dict]:
+                         uuid: int = 0, n_linker_fn=None,
+                         n_types: Optional[int] = None) -> Optional[Dict]:
     """One sample in the canonical dict layout, or None if placement failed.
 
     Topology: frag1-chain — linker-chain — frag2-chain, atoms ordered
@@ -107,8 +108,9 @@ def make_molecule_sample(rng, n_frag1: int, n_frag2: int, n_linker: int,
     inv = np.empty(n, int)
     inv[order] = np.arange(n)
 
-    one_hot = np.eye(constants.NUMBER_OF_ATOM_TYPES, dtype=np.float32)[
-        np.clip(types_arr[order], 0, constants.NUMBER_OF_ATOM_TYPES - 1)]
+    n_types = n_types or constants.NUMBER_OF_ATOM_TYPES
+    one_hot = np.eye(n_types, dtype=np.float32)[
+        np.clip(types_arr[order], 0, n_types - 1)]
     charges = np.asarray(
         [list(constants.CHARGES.values())[min(t, 7)] for t in types_arr[order]],
         np.float32)
@@ -311,7 +313,8 @@ def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
 def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
                                frag_range=(4, 8), linker_range=(3, 8),
                                pocket_range=None,
-                               coupled_linker_size=False) -> LinkerDataset:
+                               coupled_linker_size=False,
+                               n_types: Optional[int] = None) -> LinkerDataset:
     """coupled_linker_size: make the linker size a function of the fragments
     instead of independent noise (independent sizes are unlearnable by
     construction — Bayes accuracy = the prior's). Two coupling rules:
@@ -357,7 +360,8 @@ def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
             n_frag2=n_frag2,
             n_linker=n_linker,
             uuid=len(samples),
-            n_linker_fn=n_linker_fn)
+            n_linker_fn=n_linker_fn,
+            n_types=n_types)
         if s is not None and pocket_range is not None:
             s = _add_pocket_shell(rng, s, int(rng.integers(*pocket_range)))
         if s is not None:

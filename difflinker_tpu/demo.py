@@ -55,7 +55,11 @@ def recipe_config(meta: dict, timesteps: int = None,
     return ExperimentConfig(
         exp_name=exp_name,
         model=ModelConfig(
-            in_node_nf=8, context_node_nf=3 if pocket else 2,
+            # vocab width defaults to ZINC(8); demos trained on the GEOM
+            # vocab (9, e.g. the pocket size-journey whose CLI leg parses
+            # real files with is_geom) record in_node_nf in the sidecar
+            in_node_nf=int(meta.get('in_node_nf', 8)),
+            context_node_nf=3 if pocket else 2,
             hidden_nf=meta['hidden'], n_layers=meta['layers'],
             norm_constant=1e-6,
             # replace-inpainting recentres the predicted velocity

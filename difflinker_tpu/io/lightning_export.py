@@ -169,6 +169,13 @@ def save_size_checkpoint(path: str, predictor, params: Dict, state: Dict,
     }
     if predictor.task == 'classification':
         hp['loss_weights'] = None
+    if predictor.with_pocket:
+        # only written when True: the reference SizeClassifier ctor has no
+        # with_pocket kwarg (it is a forward() flag the CALLER passes,
+        # src/linker_size_lightning.py:83), so no-pocket exports stay
+        # loadable by the reference's own load_from_checkpoint; our
+        # cli.sample.load_size_spec reads it to wire fragment_only_mask
+        hp['with_pocket'] = True
     torch.save({'hyper_parameters': hp, 'state_dict': sd, 'epoch': epoch},
                path)
 

@@ -191,6 +191,31 @@ def test_export_size_checkpoint(tmp_path):
                         strict=True)
 
 
+def test_export_size_checkpoint_with_pocket(tmp_path):
+    """A with_pocket size model (the reference's pocket size-prediction
+    path, src/linker_size_lightning.py:83-97) records the flag in hparams
+    so cli.sample.load_size_spec rebuilds a fragment_only_mask-keyed
+    predictor; no-pocket exports keep hparams reference-ctor-clean."""
+    from difflinker_tpu.io.lightning_export import save_size_checkpoint
+    from difflinker_tpu.io.lightning_import import load_size_checkpoint
+    from difflinker_tpu.models.size_gnn import SizePredictor
+
+    pred = SizePredictor(in_node_nf=9, hidden_nf=16, out_node_nf=10,
+                         n_layers=2, task='classification', with_pocket=True)
+    params, state = pred.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / 'size_pocket.ckpt')
+    save_size_checkpoint(path, pred, params, state)
+    hp, _, _ = load_size_checkpoint(path)
+    assert hp['with_pocket'] is True
+
+    no_pocket = SizePredictor(in_node_nf=9, hidden_nf=16, out_node_nf=10,
+                              n_layers=2, task='classification')
+    path2 = str(tmp_path / 'size_plain.ckpt')
+    save_size_checkpoint(path2, no_pocket, *no_pocket.init(jax.random.PRNGKey(4)))
+    hp2, _, _ = load_size_checkpoint(path2)
+    assert 'with_pocket' not in hp2
+
+
 def test_export_size_cli_from_npz(tmp_path):
     """cli.export_checkpoint --size-npz: a train_size_gnn artifact (npz +
     recipe sidecar) exports to a .ckpt our size importer accepts."""

@@ -60,6 +60,19 @@ def test_pocket_shell_generation():
         assert orders[pk][:, ~pk].sum() == 0
 
 
+def test_generator_vocab_width():
+    """n_types widens the one-hot to the GEOM vocab (9) — needed when a demo
+    model must consume files parsed with is_geom (cli.generate_with_pocket);
+    pocket-shell atoms inherit the sample's width."""
+    ds = synthetic_molecule_dataset(3, seed=2, pocket_range=(6, 8),
+                                    coupled_linker_size='types', n_types=9)
+    for s in ds.samples:
+        assert s['one_hot'].shape[-1] == 9
+        assert (s['one_hot'].sum(-1) == 1).all()
+    # default stays the ZINC vocab
+    assert synthetic_molecule_dataset(1, seed=2).samples[0]['one_hot'].shape[-1] == 8
+
+
 def test_coupled_linker_size_rule():
     """coupled_linker_size makes the linker size a deterministic monotone
     function of the total fragment atom count (the only signal a
