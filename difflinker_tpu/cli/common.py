@@ -98,8 +98,8 @@ def add_respacing_args(p):
 
 
 def add_mesh_args(p):
-    """--mesh / --mesh-atoms, shared by the train and sampling CLIs. Pair
-    with build_mesh(args)."""
+    """--mesh / --mesh-atoms / --mesh-senders, shared by the train and
+    sampling CLIs. Pair with build_mesh(args)."""
     p.add_argument('--mesh', type=int, default=None,
                    help='data-parallel devices (default: single device)')
     p.add_argument('--mesh-atoms', type=int, default=1,
@@ -107,14 +107,25 @@ def add_mesh_args(p):
                         'devices (sequence parallelism — row-shards the '
                         'O(N^2 H) edge activations for HBM-bound '
                         'pocket-scale graphs; total devices = mesh * '
-                        'mesh_atoms)')
+                        'mesh_atoms * mesh_senders)')
+    p.add_argument('--mesh-senders', type=int, default=1,
+                   help='senders mesh axis: additionally shard the SENDER '
+                        'node axis of the (B, N, N, .) edge tensors (tensor '
+                        'parallelism over the pairwise graph op; composes '
+                        'multiplicatively with --mesh-atoms — per-device '
+                        'edge blocks are (N/atoms x N/senders))')
     return p
 
 
 def build_mesh(args):
-    """Mesh from add_mesh_args flags: 2-D data×atoms when --mesh-atoms > 1,
-    1-D data for --mesh > 1, else None (single device)."""
+    """Mesh from add_mesh_args flags: 3-D data×atoms×senders when
+    --mesh-senders > 1, 2-D data×atoms when --mesh-atoms > 1, 1-D data for
+    --mesh > 1, else None (single device)."""
     from difflinker_tpu.parallel import mesh as mesh_lib
+    if getattr(args, 'mesh_senders', 1) > 1:
+        return mesh_lib.make_mesh_3d(args.mesh or 1,
+                                     getattr(args, 'mesh_atoms', 1) or 1,
+                                     args.mesh_senders)
     if getattr(args, 'mesh_atoms', 1) > 1:
         return mesh_lib.make_mesh_2d(args.mesh or 1, args.mesh_atoms)
     if getattr(args, 'mesh', None) and args.mesh > 1:

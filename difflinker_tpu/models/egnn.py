@@ -59,6 +59,7 @@ def init_gcl(key, input_nf, output_nf, hidden_nf, edges_in_d=0,
 def _split_pair_linear(p, h_src, h_dst, edge_attr, input_nf):
     """Apply lin0 to the virtual concat [h_i, h_j, e_ij] without materialising
     it: split the weight rows into source/destination/edge slabs."""
+    from difflinker_tpu.parallel.mesh import constrain_pair
     w = p['w']
     w_src, w_dst, w_e = w[:input_nf], w[input_nf:2 * input_nf], w[2 * input_nf:]
     pre = h_src @ w_src  # (B, N, H')
@@ -66,7 +67,11 @@ def _split_pair_linear(p, h_src, h_dst, edge_attr, input_nf):
     out = pre[:, :, None, :] + pre_dst[:, None, :, :]
     if edge_attr is not None and w_e.shape[0] > 0:
         out = out + edge_attr @ w_e
-    return out + p['b']
+    # sender-axis tensor parallelism (parallel/mesh.sharding_hints): pin the
+    # (B, N, N, H') edge activation to its 2-D (atoms × senders) block
+    # sharding so GSPMD reshards the small (B, N, H') pre-products instead of
+    # all-gathering edge-sized tensors; no-op without a senders mesh axis
+    return constrain_pair(out + p['b'])
 
 
 def _normalize_agg(agg, edge_mask, h, normalization_factor,

@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from difflinker_tpu.parallel.mesh import constrain_pair
+
 EPS_D2 = 1e-8  # matches the sqrt regulariser in the reference (src/egnn.py:299)
 
 
@@ -33,7 +35,10 @@ def coord2diff(x: jnp.ndarray, norm_constant: float = 1.0):
     d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
     norm = jnp.sqrt(d2 + EPS_D2)
     cdiff = diff / (norm + norm_constant)
-    return d2, cdiff
+    # under a `senders` mesh axis (parallel/mesh.sharding_hints) the pairwise
+    # tensors are pinned to their (data, atoms, senders) block sharding; no-op
+    # on every other mesh
+    return constrain_pair(d2), constrain_pair(cdiff)
 
 
 def coord2diff_sparse(x: jnp.ndarray, idx: jnp.ndarray,
@@ -70,7 +75,7 @@ def fc_edge_mask(node_mask: jnp.ndarray, reference_values: bool = True) -> jnp.n
         adj = adj * -(1.0 + jnp.eye(n, dtype=adj.dtype))
     else:
         adj = adj * (1.0 - jnp.eye(n, dtype=adj.dtype))
-    return adj[..., None]
+    return constrain_pair(adj[..., None])
 
 
 def distance_edge_mask(
@@ -113,7 +118,7 @@ def distance_edge_mask(
         adj = base & (lig_lig | poc_poc | lig_poc)
     else:
         raise ValueError(f'unknown graph_type {graph_type!r}')
-    return adj.astype(x.dtype)[..., None]
+    return constrain_pair(adj.astype(x.dtype)[..., None])
 
 
 def neighbor_lists(

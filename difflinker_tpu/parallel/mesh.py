@@ -16,9 +16,21 @@ the (B, N, H) node features (~MBs over ICI). Pure annotation-level: the
 dense masked formulation (models/egnn.py) needs no code changes, verified
 by tests/test_atom_sharding.py (no full-size edge op survives in the
 compiled HLO).
+
+A 3-D `data × atoms × senders` mesh adds **tensor parallelism over the
+pairwise graph op**: `senders` shards the SENDER node axis of every
+(B, N, N, ·) tensor, so each device holds an (N/a × N/s) edge block and the
+edge memory/FLOP split scales as 1/(a·s). Collectives stay node-sized
+(O(B·N·H) feature reshards + a psum of the message aggregate). Sender
+sharding needs trace-time pinning for in-jit-built pairwise tensors — see
+`sharding_hints` / `constrain_pair` below and docs/ARCHITECTURE.md §3;
+equality + per-device HLO shapes pinned in tests/test_sender_sharding.py.
 """
 from __future__ import annotations
 
+import contextlib
+import math
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -27,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 ATOM_AXIS = 'atoms'
+SENDER_AXIS = 'senders'
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -56,10 +69,38 @@ def make_mesh_2d(n_data: int, n_atoms: int) -> Mesh:
                      shape=(n_data, n_atoms))
 
 
+def make_mesh_3d(n_data: int, n_atoms: int, n_senders: int) -> Mesh:
+    """data × atoms × senders mesh: DP + 2-D partitioning of the pairwise
+    edge work. `atoms` shards the RECEIVER node axis of every (B, N, ...)
+    tensor (sequence parallelism); `senders` shards the SENDER node axis of
+    the (B, N, N, ·) edge tensors (tensor parallelism over the graph op):
+    each device holds an (N/a × N/s) block of every O(N²·H) edge activation.
+    Collectives stay O(B·N·H): per-layer gathers of node features plus a
+    psum of the message aggregate over `senders` — never an edge-sized
+    transfer (tests/test_sender_sharding.py pins both equality and the
+    per-device HLO shapes)."""
+    return make_mesh(n_data * n_atoms * n_senders,
+                     axes=(DATA_AXIS, ATOM_AXIS, SENDER_AXIS),
+                     shape=(n_data, n_atoms, n_senders))
+
+
 def atom_axis_size(mesh: Optional[Mesh]) -> int:
     if mesh is None or ATOM_AXIS not in mesh.axis_names:
         return 1
     return int(mesh.shape[ATOM_AXIS])
+
+
+def sender_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or SENDER_AXIS not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[SENDER_AXIS])
+
+
+def node_pad_multiple(mesh: Optional[Mesh]) -> int:
+    """The node axis must divide BOTH node-sharding axes: receivers shard
+    over `atoms`, and the sender axis of (B, N, N, ·) edge tensors (same N)
+    over `senders`. Pad N to lcm(atoms, senders)."""
+    return math.lcm(atom_axis_size(mesh), sender_axis_size(mesh))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -77,8 +118,56 @@ def node_sharding(mesh: Mesh) -> NamedSharding:
     return batch_sharding(mesh)
 
 
+def pair_sharding(mesh: Mesh, n_lead: int = 0) -> NamedSharding:
+    """(B, N, N, ·) pairwise tensors: batch over `data`, receiver axis over
+    `atoms`, sender axis over `senders` (each only when the mesh has it)."""
+    spec = (None,) * n_lead + (DATA_AXIS,)
+    spec = spec + ((ATOM_AXIS,) if atom_axis_size(mesh) > 1 else (None,))
+    if sender_axis_size(mesh) > 1:
+        spec = spec + (SENDER_AXIS,)
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# --- trace-time sharding hints ----------------------------------------------
+#
+# Receiver-axis (atoms) sharding is pure annotation-level: GSPMD propagates it
+# from the INPUT shardings because every (B, N, N, ·) tensor inherits the
+# receiver sharding of the (B, N, ·) node tensors it is built from. The sender
+# axis has no such anchor for distance-graph models (their edge masks are
+# built in-jit from coordinates), and propagation alone may resolve the
+# receiver/sender conflict on the node tensors by all-gathering an edge-sized
+# intermediate. `sharding_hints` makes the intent explicit: while a mesh with
+# a >1 `senders` axis is active, `constrain_pair` pins every freshly built
+# (B, N, N, ·) tensor to pair_sharding. With no hints (or no senders axis) it
+# is a no-op, so single-device / DP / DP×SP programs are byte-identical to
+# before.
+
+_HINTS = threading.local()
+
+
+@contextlib.contextmanager
+def sharding_hints(mesh: Optional[Mesh]):
+    prev = getattr(_HINTS, 'mesh', None)
+    _HINTS.mesh = mesh
+    try:
+        yield
+    finally:
+        _HINTS.mesh = prev
+
+
+def constrain_pair(x, n_lead: int = 0):
+    """Constrain a (B, N_recv, N_send, F) pairwise tensor to the active hints
+    mesh's pair sharding (no-op without an active senders>1 hints mesh)."""
+    mesh = getattr(_HINTS, 'mesh', None)
+    if mesh is None or sender_axis_size(mesh) <= 1:
+        return x
+    if getattr(x, 'ndim', 0) != n_lead + 4:
+        return x
+    return jax.lax.with_sharding_constraint(x, pair_sharding(mesh, n_lead))
 
 
 # tensors carrying a SECOND node axis ((..., N, N, ·) pairwise layout);
@@ -137,25 +226,31 @@ def batch_shardings(mesh: Mesh, batch: dict, n_lead: int = 0) -> dict:
     epoch tensors). Non-arrays map to None (replicated by jit)."""
     lead = (None,) * n_lead
     atoms = atom_axis_size(mesh) > 1
+    senders = sender_axis_size(mesh) > 1
     # shape only — never materialise (multi-host globally-sharded arrays
     # cannot be converted to a host ndarray)
     n = (int(np.shape(batch['positions'])[n_lead + 1])
-         if atoms and 'positions' in batch else -1)
+         if (atoms or senders) and 'positions' in batch else -1)
     out = {}
     for k, v in batch.items():
         if not (hasattr(v, 'ndim') and getattr(v, 'ndim', 0) >= n_lead + 1):
             out[k] = None
             continue
         spec = lead + (DATA_AXIS,)
-        if atoms and v.ndim >= n_lead + 2 and v.shape[n_lead + 1] == n:
-            if n % atom_axis_size(mesh) != 0:
+        if ((atoms or senders) and v.ndim >= n_lead + 2
+                and v.shape[n_lead + 1] == n):
+            if n % node_pad_multiple(mesh) != 0:
                 raise ValueError(
-                    f'node axis {n} of {k!r} does not divide the {ATOM_AXIS} '
-                    f'mesh axis ({atom_axis_size(mesh)}); pad with '
+                    f'node axis {n} of {k!r} does not divide the node mesh '
+                    f'axes (atoms={atom_axis_size(mesh)}, '
+                    f'senders={sender_axis_size(mesh)}); pad with '
                     'pad_nodes_to_multiple (LinkerSampler does this '
                     'automatically; trainers should pick bucket/pad-nodes '
-                    'sizes divisible by the atoms axis)')
-            spec = lead + (DATA_AXIS, ATOM_AXIS)
+                    'sizes divisible by node_pad_multiple(mesh))')
+            spec = lead + (DATA_AXIS,) + ((ATOM_AXIS,) if atoms else (None,))
+            if (senders and k in _EDGE_PAIR_KEYS
+                    and v.ndim >= n_lead + 3 and v.shape[n_lead + 2] == n):
+                spec = spec + (SENDER_AXIS,)
         out[k] = NamedSharding(mesh, P(*spec))
     return out
 

@@ -116,8 +116,11 @@ class LinkerSampler:
                 rep = mesh_lib.replicated(self.mesh)
                 dsh = mesh_lib.batch_sharding(self.mesh)
                 # (B, N, ...) tensors also shard their node axis over a 2-D
-                # data×atoms mesh (sequence parallelism; == dsh on 1-D)
+                # data×atoms mesh (sequence parallelism; == dsh on 1-D); the
+                # (B, N, N, 1) edge mask additionally shards its SENDER axis
+                # on a 3-D data×atoms×senders mesh
                 nsh = mesh_lib.node_sharding(self.mesh)
+                psh = mesh_lib.pair_sharding(self.mesh)
                 outs = (nsh, nsh, dsh)  # xs, hs, per-sample nan flags
                 if keep_frames is not None:
                     # chain is (keep_frames, B, N, ...): batch is axis 1
@@ -125,8 +128,12 @@ class LinkerSampler:
                     if mesh_lib.atom_axis_size(self.mesh) > 1:
                         spec = spec + (mesh_lib.ATOM_AXIS,)
                     outs = outs + (NamedSharding(self.mesh, P(*spec)),)
-                jitted = jax.jit(fn, in_shardings=(rep, rep) + (nsh,) * 7,
-                                 out_shardings=outs)
+                # args: params, key, x, h, node_mask, fragment_mask,
+                #       linker_mask, edge_mask, context
+                jitted = jax.jit(
+                    fn,
+                    in_shardings=(rep, rep) + (nsh,) * 5 + (psh, nsh),
+                    out_shardings=outs)
             self._compiled[(shape_key, keep_frames)] = jitted
         return self._compiled[(shape_key, keep_frames)]
 
@@ -156,11 +163,11 @@ class LinkerSampler:
                 batch, sizes, n_nodes=n_nodes)
 
         if self.mesh is not None:
-            # a 2-D data×atoms mesh shards node axes: zero-pad N to a
-            # multiple of the atoms axis (masked rows are free)
+            # meshes with node-sharding axes (atoms receivers, senders on the
+            # edge mask): zero-pad N to their lcm (masked rows are free)
             from difflinker_tpu.parallel import mesh as mesh_lib
             template = mesh_lib.pad_nodes_to_multiple(
-                template, mesh_lib.atom_axis_size(self.mesh))
+                template, mesh_lib.node_pad_multiple(self.mesh))
 
         n_real = int(np.asarray(template['positions']).shape[0])
         pad_to = self.pad_batch_to
@@ -206,8 +213,12 @@ class LinkerSampler:
         pending = np.ones((x.shape[0],), bool)
         n_retries = 0
         for attempt in range(self.max_retries + 1):
-            res = fn(self.params, kchain, x, h, node_mask, fragment_mask,
-                     linker_mask, edge_mask, context)
+            from difflinker_tpu.parallel import mesh as mesh_lib
+            with mesh_lib.sharding_hints(self.mesh):
+                # hints apply at trace time (first call per shape): a
+                # `senders` mesh axis pins the in-jit pairwise tensors
+                res = fn(self.params, kchain, x, h, node_mask, fragment_mask,
+                         linker_mask, edge_mask, context)
             if keep_frames is None:
                 xs, hs, nan = res
             else:

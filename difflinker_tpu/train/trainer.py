@@ -241,7 +241,11 @@ class Trainer:
                     step,
                     in_shardings=(rep, bsh) + (rep,) * n_post,
                     out_shardings=(rep,) * out_n if out_n > 1 else rep)
-            return cache[ks](state, batch, *rest)
+            # hints are read at TRACE time (first call per shape): on a mesh
+            # with a `senders` axis the pairwise intermediates get pinned to
+            # their 2-D edge sharding; no-op otherwise
+            with mesh_lib.sharding_hints(self.mesh):
+                return cache[ks](state, batch, *rest)
         return dispatch
 
     def fit_epoch_scanned(self, state: Dict, packed, batch_size: int, key,
@@ -267,7 +271,7 @@ class Trainer:
             duplicated += pad * n_steps
             if self.mesh is not None:
                 stacked = mesh_lib.pad_nodes_to_multiple(
-                    stacked, mesh_lib.atom_axis_size(self.mesh), n_lead=1)
+                    stacked, mesh_lib.node_pad_multiple(self.mesh), n_lead=1)
             key, sub = jax.random.split(key)
             js = {k: jnp.asarray(v) for k, v in stacked.items()
                   if k in self.BATCH_KEYS}
@@ -360,7 +364,7 @@ class Trainer:
             n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
             sub, pad = wrap_pad(sub, n_dev)
             sub = mesh_lib.pad_nodes_to_multiple(
-                sub, mesh_lib.atom_axis_size(self.mesh))
+                sub, mesh_lib.node_pad_multiple(self.mesh))
             if pad and not getattr(self, '_warned_pad', False):
                 bs = next(iter(sub.values())).shape[0] - pad
                 print(f'[trainer] wrap-padding ragged batch {bs} -> '

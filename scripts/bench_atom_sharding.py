@@ -13,8 +13,13 @@ records XLA's own per-device temp-buffer accounting
 (run here on the virtual CPU mesh; the sharding, and therefore the
 accounting, is identical on a TPU slice).
 
+`--grid a,s ...` additionally measures data×atoms×senders meshes (sender-
+axis tensor parallelism, tests/test_sender_sharding.py): per-device edge
+blocks are (N/a × N/s), so the footprint should fall ~1/(a·s) and the two
+axes should be interchangeable levers.
+
     python scripts/bench_atom_sharding.py --n 512 --hidden 128 \
-        --out docs/atom_sharding_memory.json
+        --grid 2,1 1,2 2,2 4,2 2,4 --out docs/atom_sharding_memory.json
 """
 import argparse
 import json
@@ -30,11 +35,15 @@ def main():
     p.add_argument('--hidden', type=int, default=128)
     p.add_argument('--layers', type=int, default=2)
     p.add_argument('--axes', type=int, nargs='+', default=[2, 4, 8])
+    p.add_argument('--grid', type=str, nargs='*', default=[],
+                   help='atoms,senders combos for 3-D meshes (e.g. 2,2 4,2)')
     p.add_argument('--out', default=None)
     args = p.parse_args()
 
+    grid = [tuple(int(v) for v in g.split(',')) for g in args.grid]
+    n_dev = max(args.axes + [a * s for a, s in grid] + [1])
     os.environ['XLA_FLAGS'] = (
-        f'--xla_force_host_platform_device_count={max(args.axes)} '
+        f'--xla_force_host_platform_device_count={n_dev} '
         + os.environ.get('XLA_FLAGS', ''))
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -81,11 +90,29 @@ def main():
                      'temp_mb_per_device': temp_mb(
                          jax.jit(fwd).lower(*sh_args).compile())})
 
+    grid_rows = []
+    for a, s in grid:
+        mesh = mesh_lib.make_mesh_3d(1, a, s)
+        nsh = mesh_lib.node_sharding(mesh)
+        psh = mesh_lib.pair_sharding(mesh)
+        rep = mesh_lib.replicated(mesh)
+        dsh = mesh_lib.batch_sharding(mesh)
+        sh_args = (jax.device_put(params, rep), jax.device_put(t, dsh),
+                   jax.device_put(z, nsh), jax.device_put(nm, nsh),
+                   jax.device_put(lk, nsh), jax.device_put(em, psh),
+                   jax.device_put(ctx, nsh))
+        with mesh_lib.sharding_hints(mesh):
+            compiled = jax.jit(fwd).lower(*sh_args).compile()
+        grid_rows.append({'atoms_axis': a, 'senders_axis': s,
+                          'temp_mb_per_device': temp_mb(compiled)})
+
     report = {'sample': {'batch': B, 'atoms': N, 'hidden': args.hidden,
                          'layers': args.layers},
               'metric': 'XLA temp-buffer bytes per device '
                         '(compiled.memory_analysis)',
               'series': rows}
+    if grid_rows:
+        report['atoms_x_senders_series'] = grid_rows
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, 'w') as f:
