@@ -236,3 +236,65 @@ def test_hints_are_noop_without_senders_axis():
         assert mesh_lib.constrain_pair(jnp.ones((4, 8, 8))) is not None
         y = mesh_lib.constrain_pair(x)
         assert y.shape == x.shape
+
+
+def test_sender_sharded_sparse_k_train_step_matches_single_device():
+    """A sparse-K pocket model on the 3-D mesh: the senders axis targets the
+    DENSE pairwise layout, but sparse layouts must stay CORRECT under it
+    (the constrained (B, N, N, 1) adjacency inside neighbor_lists is
+    re-gathered for the top-k; K-axis tensors are left alone)."""
+    cfg = ExperimentConfig(
+        model=ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=32,
+                          n_layers=2, norm_constant=1e-6,
+                          graph_type=GraphType.A4, neighbor_k=8),
+        diffusion=DiffusionConfig(timesteps=20),
+        data=DataConfig(family='moad', pocket_mode='full'),
+        train=TrainConfig(lr=1e-3, batch_size=4, center_of_mass='anchors'))
+    ds = synthetic_dataset(8, seed=3, is_geom=True, pocket_range=(5, 10))
+    batch = next(ds.iter_batches(4, group_by_bucket=False))
+    if batch['positions'].shape[1] % 2:
+        batch = mesh_lib.pad_nodes_to_multiple(batch, 2)
+    key0, key1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    t1 = Trainer(cfg)
+    s1 = t1.init_state(key0)
+    s1, m1 = t1.compiled_train_step()(s1, t1._device_batch(batch), key1,
+                                      jnp.inf)
+
+    t8 = Trainer(cfg, mesh=mesh_lib.make_mesh_3d(2, 2, 2))
+    s8 = t8.init_state(key0)
+    s8, m8 = t8.compiled_train_step()(s8, t8._device_batch(batch), key1,
+                                      jnp.asarray(jnp.inf))
+    np.testing.assert_allclose(float(m8['loss']), float(m1['loss']),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1['params']),
+                    jax.tree.leaves(s8['params'])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sender_sharded_inpainting_matches_single_device():
+    """InpaintingEDM's per-step CoM re-projection (a cross-shard node
+    reduction) and q-mixing compose with the 2-D edge blocking: the 3-D
+    mesh reproduces the single-device chain exactly."""
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, centering=True),
+        diffusion=dataclasses.replace(cfg.diffusion, inpainting=True,
+                                      timesteps=6))
+    edm = make_edm(cfg.model, cfg.diffusion)
+    params = edm.init_params(jax.random.PRNGKey(0))
+    batch = next(synthetic_dataset(4, seed=0).iter_batches(
+        4, group_by_bucket=False))
+    assert batch['positions'].shape[1] % 2 == 0
+
+    ref = LinkerSampler(cfg, params, edm).sample(batch, jax.random.PRNGKey(7))
+    mesh = mesh_lib.make_mesh_3d(2, 2, 2)
+    out = LinkerSampler(cfg, params, edm, mesh=mesh).sample(
+        batch, jax.random.PRNGKey(7))
+    assert not out['nan_flag'].any()
+    np.testing.assert_allclose(out['positions'], ref['positions'],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(out['one_hot'], ref['one_hot'])
