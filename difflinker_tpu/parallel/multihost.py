@@ -63,7 +63,7 @@ def global_batches(local_batches: Iterator[Dict], mesh) -> Iterator[Dict]:
             n_local = int(np.shape(batch['positions'])[1])
             n_global = _allreduce_max_nodes(n_local)
             batch = mesh_lib.pad_nodes_to_multiple(
-                batch, mesh_lib.atom_axis_size(mesh), min_nodes=n_global)
+                batch, mesh_lib.node_pad_multiple(mesh), min_nodes=n_global)
         shardings = mesh_lib.batch_shardings(mesh, batch)
         out = {}
         for k, v in batch.items():

@@ -41,6 +41,24 @@ def test_sample_and_analyze(setup):
         assert 0 <= metrics[key] <= 1 or key == 'energies'
 
 
+def test_sample_and_analyze_overlap_matches_serial(setup):
+    """The overlapped host-device eval pipeline (chemistry on a worker thread
+    while the main thread blocks on the next device chain) gathers results in
+    submission order — metrics are identical to strictly serial execution."""
+    cfg, trainer, params = setup
+    ds = synthetic_dataset(4, seed=0)
+    sampler = LinkerSampler(cfg, params, trainer.edm)
+    serial = sample_and_analyze(
+        sampler, ds.iter_batches(4, group_by_bucket=False),
+        jax.random.PRNGKey(1), n_samples=2, overlap=False)
+    overlapped = sample_and_analyze(
+        sampler, ds.iter_batches(4, group_by_bucket=False),
+        jax.random.PRNGKey(1), n_samples=2, overlap=True)
+    assert set(serial) == set(overlapped)
+    for k, v in serial.items():
+        assert overlapped[k] == pytest.approx(v), k
+
+
 def test_best_validation_metrics():
     history = {
         'validity_and_connectivity/val': [0.1, 0.5, 0.3],

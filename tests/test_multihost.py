@@ -70,6 +70,12 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(results[0]['loss_dpsp'], ref_loss, rtol=1e-5)
     np.testing.assert_allclose(results[0]['checksum_dpsp'], ref_checksum,
                                rtol=1e-5)
+    # ...and the DP x SP x TP (2 hosts x atoms=2 x senders=2) leg too —
+    # multi-host input composes with 2-D edge blocking (sender-axis TP)
+    np.testing.assert_allclose(results[0]['loss_dpsptp'], ref_loss,
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[0]['checksum_dpsptp'], ref_checksum,
+                               rtol=1e-5)
 
 
 def test_host_shard_indices_single_process():
