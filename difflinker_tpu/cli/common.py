@@ -114,14 +114,30 @@ def add_mesh_args(p):
                         'parallelism over the pairwise graph op; composes '
                         'multiplicatively with --mesh-atoms — per-device '
                         'edge blocks are (N/atoms x N/senders))')
+    p.add_argument('--mesh-stages', type=int, default=1,
+                   help='stages mesh axis: partition the EGNN blocks over '
+                        'this many devices (pipeline parallelism — '
+                        'node-sized point-to-point traffic only, at an '
+                        '(S-1)/(M+S-1) bubble; dense layout only, exclusive '
+                        'with --mesh-atoms/--mesh-senders; n_layers must '
+                        'divide it)')
     return p
 
 
 def build_mesh(args):
-    """Mesh from add_mesh_args flags: 3-D data×atoms×senders when
-    --mesh-senders > 1, 2-D data×atoms when --mesh-atoms > 1, 1-D data for
-    --mesh > 1, else None (single device)."""
+    """Mesh from add_mesh_args flags: data×stages when --mesh-stages > 1,
+    3-D data×atoms×senders when --mesh-senders > 1, 2-D data×atoms when
+    --mesh-atoms > 1, 1-D data for --mesh > 1, else None (single device)."""
     from difflinker_tpu.parallel import mesh as mesh_lib
+    if getattr(args, 'mesh_stages', 1) > 1:
+        if (getattr(args, 'mesh_atoms', 1) > 1
+                or getattr(args, 'mesh_senders', 1) > 1):
+            raise SystemExit(
+                '--mesh-stages (pipeline parallelism) does not compose with '
+                '--mesh-atoms/--mesh-senders: the pipeline moves node-sized '
+                'activations whole; shard the edge work with atoms/senders '
+                'OR pipeline the blocks, not both')
+        return mesh_lib.make_mesh_pp(args.mesh or 1, args.mesh_stages)
     if getattr(args, 'mesh_senders', 1) > 1:
         return mesh_lib.make_mesh_3d(args.mesh or 1,
                                      getattr(args, 'mesh_atoms', 1) or 1,

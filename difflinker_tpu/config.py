@@ -90,6 +90,10 @@ class ModelConfig:
     # takes precedence over neighbor_k when both are set.
     tile_size: Optional[int] = None
     tile_neighbors: Optional[int] = None
+    # Pipeline parallelism (parallel/pipeline.py): microbatches per local
+    # batch when a `stages` mesh axis is active. 0 = stage count. The bubble
+    # fraction is (S-1)/(M+S-1): raise M to amortise it.
+    pipeline_microbatches: int = 0
 
     @property
     def edge_feat_nf(self) -> int:

@@ -115,7 +115,26 @@ def dynamics_apply(
                 x, node_mask, linker_mask, fragment_only, pocket_only,
                 cfg.graph_type.value)
 
-    if cfg.model == 'egnn_dynamics':
+    from difflinker_tpu.parallel.pipeline import active_pp_mesh
+    pp_mesh = active_pp_mesh()
+    if pp_mesh is not None:
+        # pipeline parallelism (stages mesh axis): blocks stage-partitioned,
+        # microbatches circulated via ppermute (parallel/pipeline.py); the
+        # dense masked layout only — the sparse/tile gathers would need
+        # in-stage resharding that defeats PP's node-sized-traffic point
+        if cfg.model != 'egnn_dynamics' or tiles is not None or neighbors is not None:
+            raise ValueError(
+                'a `stages` mesh axis composes with the dense egnn_dynamics '
+                'layout only (unset neighbor_k/tile_size, or drop the stages '
+                'axis and use the atoms/senders axes for sparse layouts)')
+        from difflinker_tpu.parallel.pipeline import egnn_apply_pp
+        h_final, x_final = egnn_apply_pp(
+            params['egnn'], h, x, node_mask, linker_mask, edge_mask,
+            cfg=cfg, mesh=pp_mesh,
+            n_microbatches=cfg.pipeline_microbatches or None,
+            remat=remat, mean_count_static=mean_count_static)
+        vel = (x_final - x) * node_mask
+    elif cfg.model == 'egnn_dynamics':
         if tiles is not None:
             tidx, emask = tiles
             h_final, x_final = egnn_lib.egnn_apply_tiles(

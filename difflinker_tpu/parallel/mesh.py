@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 ATOM_AXIS = 'atoms'
 SENDER_AXIS = 'senders'
+STAGE_AXIS = 'stages'
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -84,6 +85,17 @@ def make_mesh_3d(n_data: int, n_atoms: int, n_senders: int) -> Mesh:
                      shape=(n_data, n_atoms, n_senders))
 
 
+def make_mesh_pp(n_data: int, n_stages: int) -> Mesh:
+    """data × stages mesh: batch DP over `data`, EGNN blocks partitioned
+    over `stages` (pipeline parallelism, parallel/pipeline.py). Of all the
+    mesh axes this one has the smallest communication footprint — each
+    pipeline tick moves only the node-sized (mb, N, H+3) activation to the
+    next stage (point-to-point over ICI; no per-layer feature all-gathers
+    like `atoms`/`senders`) — at the cost of an (S-1)/(M+S-1) bubble."""
+    return make_mesh(n_data * n_stages, axes=(DATA_AXIS, STAGE_AXIS),
+                     shape=(n_data, n_stages))
+
+
 def atom_axis_size(mesh: Optional[Mesh]) -> int:
     if mesh is None or ATOM_AXIS not in mesh.axis_names:
         return 1
@@ -94,6 +106,12 @@ def sender_axis_size(mesh: Optional[Mesh]) -> int:
     if mesh is None or SENDER_AXIS not in mesh.axis_names:
         return 1
     return int(mesh.shape[SENDER_AXIS])
+
+
+def stage_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or STAGE_AXIS not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[STAGE_AXIS])
 
 
 def node_pad_multiple(mesh: Optional[Mesh]) -> int:
@@ -157,6 +175,13 @@ def sharding_hints(mesh: Optional[Mesh]):
         yield
     finally:
         _HINTS.mesh = prev
+
+
+def hints_mesh() -> Optional[Mesh]:
+    """The mesh of the innermost active `sharding_hints` context (None when
+    no hints are active). The pipeline layout (parallel/pipeline.py) reads
+    this at trace time to route the dense EGNN through the `stages` axis."""
+    return getattr(_HINTS, 'mesh', None)
 
 
 def constrain_pair(x, n_lead: int = 0):
