@@ -39,16 +39,19 @@ def main():
     idx = multihost.host_shard_indices(8)
     assert len(idx) == 4 and (idx % 2 == proc_id).all()
 
-    # One identical step body on three meshes: pure DP; DP x SP (2-D
+    # One identical step body on four meshes: pure DP; DP x SP (2-D
     # (data=2 hosts) x (atoms=4 intra-host) — multi-host input over DCN
-    # composed with sequence parallelism over the virtual ICI); and
-    # DP x SP x TP ((data=2 hosts) x (atoms=2) x (senders=2) — adding
-    # sender-axis tensor parallelism over the pairwise graph op). The parent
-    # asserts all legs' numerics match.
+    # composed with sequence parallelism over the virtual ICI); DP x SP x TP
+    # ((data=2 hosts) x (atoms=2) x (senders=2) — adding sender-axis tensor
+    # parallelism over the pairwise graph op); and DP x PP ((data=4, two
+    # shards per host) x (stages=2 intra-host) — pipeline parallelism with
+    # the stage ppermute riding each host's own devices). The parent asserts
+    # all legs' numerics match.
     out = {}
     for tag, mesh in (('', mesh_lib.make_mesh(8)),
                       ('_dpsp', mesh_lib.make_mesh_2d(2, 4)),
-                      ('_dpsptp', mesh_lib.make_mesh_3d(2, 2, 2))):
+                      ('_dpsptp', mesh_lib.make_mesh_3d(2, 2, 2)),
+                      ('_dppp', mesh_lib.make_mesh_pp(4, 2))):
         gb = next(multihost.global_batches(iter([local]), mesh))
         assert gb['positions'].shape[0] == 8  # logically global
         trainer = Trainer(_flagship_cfg(tiny=True), mesh=mesh)

@@ -76,6 +76,11 @@ def test_two_process_training_matches_single_process():
                                rtol=1e-5)
     np.testing.assert_allclose(results[0]['checksum_dpsptp'], ref_checksum,
                                rtol=1e-5)
+    # ...and the DP x PP (data=4 over 2 hosts x stages=2 intra-host) leg —
+    # multi-host input composes with pipeline parallelism
+    np.testing.assert_allclose(results[0]['loss_dppp'], ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(results[0]['checksum_dppp'], ref_checksum,
+                               rtol=1e-5)
 
 
 def test_host_shard_indices_single_process():
