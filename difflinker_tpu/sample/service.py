@@ -1,0 +1,275 @@
+"""Production sampling service: dynamic request batching over warm chains.
+
+The reference's inference story is one-shot CLIs (generate.py builds a batch,
+samples, exits) — fine for a workstation, wrong for serving: on TPU each
+(B, N) chain shape costs a full XLA compile (plus a multi-minute program
+load through tunneled backends), so per-request dispatch either recompiles
+constantly or wastes the chip between requests. This module is the
+deployment subsystem the TPU rebuild adds on top of
+`sample.sampler.LinkerSampler`:
+
+  * **Warm compiled chains.** One LinkerSampler per node bucket, each pinned
+    to a single (pad_batch_to, pad_nodes_to) shape — the whole service runs
+    a small fixed set of XLA programs, compiled once, reused forever.
+  * **Dynamic batching.** Requests accumulate for up to `max_wait_s` after
+    the first arrival (or until `batch_size` rows), then run as ONE chain
+    call per node bucket; the sampler wrap-pads the remainder. Classic
+    batching-window serving: latency bounded by max_wait_s + one chain,
+    throughput approaching the offline batch rate under load.
+  * **Hot weight swap.** `update_params` enqueues the swap in request order
+    and reuses every compiled chain (params are jit arguments) — a training
+    loop can serve from its latest checkpoint with zero recompiles.
+  * **Row-exact routing.** Each request's rows come back by position from
+    the batched output; tests pin that fragment coordinates round-trip
+    exactly per request (recenter_output leaves fragments in the input
+    frame), so co-batched requests can never leak rows into each other.
+
+A request is a raw per-molecule sample dict (the `data.collate.collate`
+unit: positions/one_hot/charges/fragment_mask/linker_mask/anchors, as built
+by cli.generate.fragment_sample_dict or `sample_from_file` below),
+replicated `n_samples` times with linker sizes resolved per request
+(`sample.sampler.resolve_linker_sizes` polymorphism: int, range, 'prior',
+'ground_truth', or a trained size predictor).
+"""
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from difflinker_tpu.config import ExperimentConfig
+from difflinker_tpu.data.collate import collate
+from difflinker_tpu.sample.sampler import (LinkerSampler, SizeSpec,
+                                           resolve_linker_sizes)
+
+
+def sample_from_file(path: str, *, is_geom: bool = False,
+                     anchors: Optional[Sequence[int]] = None) -> Dict:
+    """Raw sample dict from a fragment file (sdf/mol/xyz), CoM-centred —
+    the standalone twin of cli.generate.fragment_sample_dict
+    (generate.py:101-135 reading protocol). `anchors` are 1-based."""
+    import os
+    from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
+    mol = read_molecule(path)
+    positions, one_hot, charges = parse_molecule(mol, is_geom=is_geom)
+    positions = positions - positions.mean(0, keepdims=True)
+    n = len(charges)
+    anchor_flags = np.zeros(n, np.float32)
+    for a in anchors or ():
+        anchor_flags[int(a) - 1] = 1
+    return {
+        'uuid': 0, 'name': os.path.splitext(os.path.basename(path))[0],
+        'positions': positions.astype(np.float32),
+        'one_hot': one_hot.astype(np.float32),
+        'charges': charges.astype(np.float32),
+        'anchors': anchor_flags,
+        'fragment_mask': np.ones(n, np.float32),
+        'linker_mask': np.zeros(n, np.float32),
+        'num_atoms': n,
+    }
+
+
+@dataclass
+class _Request:
+    samples: List[Dict]          # n_samples copies of the raw sample dict
+    sizes: np.ndarray            # (n_samples,) resolved linker sizes
+    bucket: int                  # node bucket this request routes to
+    recenter: bool
+    future: Future = field(default_factory=Future)
+
+
+_STOP = object()
+
+
+class SamplingService:
+    """Threaded batching front-end over per-bucket LinkerSamplers.
+
+    Args:
+      cfg/params: as LinkerSampler.
+      batch_size: rows per chain call (the compiled batch shape; smaller
+        waves wrap-pad up to it).
+      max_wait_s: batching window measured from the first queued request.
+      node_buckets: padded node sizes; each gets its own warm sampler.
+        Requests needing more nodes than the largest bucket route to an
+        overflow sampler with natural (per-batch) shapes.
+      mesh: optional device mesh, forwarded to every sampler (DP/SP/TP/PP
+        all compose with serving — the chain is the same jitted program).
+      seed: service-level PRNG root; per-request keys fold a submit counter,
+        so a given (seed, submission order) replays exactly.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, params, *, batch_size: int = 32,
+                 max_wait_s: float = 0.05,
+                 node_buckets: Sequence[int] = (32, 64, 128), mesh=None,
+                 seed: int = 0, max_retries: int = 5):
+        self.cfg = cfg
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_s)
+        self.node_buckets = tuple(sorted(int(b) for b in node_buckets))
+        self._samplers = {
+            b: LinkerSampler(cfg, params, mesh=mesh, max_retries=max_retries,
+                             pad_batch_to=self.batch_size, pad_nodes_to=b)
+            for b in self.node_buckets}
+        self._overflow = LinkerSampler(cfg, params, mesh=mesh,
+                                       max_retries=max_retries,
+                                       pad_batch_to=self.batch_size)
+        self._queue: queue.Queue = queue.Queue()
+        self._key = jax.random.PRNGKey(seed)
+        self._submit_counter = itertools.count()
+        self._batch_counter = itertools.count()
+        self.stats = {'requests': 0, 'rows': 0, 'batches': 0,
+                      'padded_rows': 0, 'chain_seconds': 0.0}
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name='sampling-service')
+        self._worker.start()
+
+    # -- client API -----------------------------------------------------------
+
+    def submit(self, sample: Dict, *, n_samples: int = 1,
+               size_spec: SizeSpec = 'prior',
+               recenter_output: bool = True) -> Future:
+        """Queue one fragment set for linker generation; returns a Future
+        resolving to the request's slice of the sampler output dict
+        (positions/one_hot/node_mask/linker_mask/fragment_mask/nan_flag,
+        leading dim n_samples)."""
+        if not self._worker.is_alive():
+            raise RuntimeError('service is closed')
+        i = next(self._submit_counter)
+        key = jax.random.fold_in(self._key, i)
+        samples = [dict(sample) for _ in range(int(n_samples))]
+        # sizes resolve on a collated view so 'ground_truth'/predictor specs
+        # see the same (B, N, ·) layout the samplers do
+        mini = collate(samples)
+        sizes = resolve_linker_sizes(size_spec, mini, key)
+        if self.cfg.diffusion.inpainting:
+            needed = int(np.asarray(sample['positions']).shape[0])
+        else:
+            n_frag = int(np.asarray(sample['fragment_mask']).sum())
+            needed = n_frag + int(sizes.max())
+        bucket = next((b for b in self.node_buckets if needed <= b), 0)
+        req = _Request(samples=samples, sizes=sizes, bucket=bucket,
+                       recenter=recenter_output)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, sample: Dict, **kw) -> Dict[str, np.ndarray]:
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(sample, **kw).result()
+
+    def update_params(self, params):
+        """Swap weights between batches, in request order (compiled chains
+        are reused — params are jit arguments)."""
+        done = Future()
+        self._queue.put(('params', params, done))
+        return done
+
+    def close(self):
+        self._queue.put(_STOP)
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker ---------------------------------------------------------------
+
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is _STOP:
+                return
+            if isinstance(item, tuple) and item[0] == 'params':
+                self._apply_params(item[1], item[2])
+                continue
+            wave = [item]
+            rows = len(item.samples)
+            deadline = time.monotonic() + self.max_wait_s
+            while rows < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    self._flush(wave)
+                    return
+                if isinstance(nxt, tuple) and nxt[0] == 'params':
+                    # honour ordering: finish the wave, then swap
+                    self._flush(wave)
+                    self._apply_params(nxt[1], nxt[2])
+                    wave, rows = [], 0
+                    deadline = time.monotonic() + self.max_wait_s
+                    continue
+                wave.append(nxt)
+                rows += len(nxt.samples)
+            if wave:
+                self._flush(wave)
+
+    def _apply_params(self, params, done: Future):
+        try:
+            for s in self._samplers.values():
+                s.update_params(params)
+            self._overflow.update_params(params)
+            done.set_result(True)
+        except Exception as e:  # pragma: no cover - defensive
+            done.set_exception(e)
+
+    def _flush(self, wave: List[_Request]):
+        groups: Dict[tuple, List[_Request]] = {}
+        for req in wave:
+            groups.setdefault((req.bucket, req.recenter), []).append(req)
+        for (bucket, _), reqs in groups.items():
+            self._run_bucket(bucket, reqs)
+
+    def _run_bucket(self, bucket: int, reqs: List[_Request]):
+        sampler = self._samplers.get(bucket, self._overflow)
+        try:
+            samples = [s for r in reqs for s in r.samples]
+            sizes = np.concatenate([r.sizes for r in reqs])
+            batch = collate(samples)
+            # distinct key stream from the submit-counter folds (salted)
+            key = jax.random.fold_in(
+                jax.random.fold_in(self._key, 0x5e41ce),
+                next(self._batch_counter))
+            t0 = time.monotonic()
+            out = sampler.sample(
+                batch, key, size_spec=lambda _b: sizes,
+                recenter_output=reqs[0].recenter)
+            self.stats['chain_seconds'] += time.monotonic() - t0
+            self.stats['batches'] += 1
+            self.stats['requests'] += len(reqs)
+            self.stats['rows'] += len(samples)
+            self.stats['padded_rows'] += max(
+                0, (sampler.pad_batch_to or 0) - len(samples))
+            off = 0
+            for r in reqs:
+                n = len(r.samples)
+                sl = {}
+                for k, v in out.items():
+                    if k == 'num_retries':
+                        continue
+                    if (isinstance(v, np.ndarray) and v.ndim > 0
+                            and v.shape[0] == len(samples)):
+                        sl[k] = v[off:off + n]
+                    elif isinstance(v, list) and len(v) == len(samples):
+                        sl[k] = v[off:off + n]
+                    else:
+                        sl[k] = v
+                sl['linker_sizes'] = r.sizes
+                r.future.set_result(sl)
+                off += n
+        except Exception as e:
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)

@@ -1,0 +1,174 @@
+"""Serving subsystem: dynamic request batching over warm compiled chains
+(sample/service.py + cli/serve.py).
+
+The critical property is row-exact routing: co-batched requests must get
+back exactly their own rows. Fragments are frozen through the chain and
+recenter_output restores the input frame, so each request's fragment
+coordinates must round-trip — with every request carrying distinct
+coordinates, that pins the routing bit-for-bit.
+"""
+import io
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import pytest
+
+from difflinker_tpu.config import (DataConfig, DiffusionConfig,
+                                   ExperimentConfig, ModelConfig, TrainConfig)
+from difflinker_tpu.diffusion.edm import make_edm
+from difflinker_tpu.sample.service import SamplingService
+
+
+def _cfg(timesteps=5):
+    return ExperimentConfig(
+        model=ModelConfig(in_node_nf=8, context_node_nf=2, hidden_nf=16,
+                          n_layers=1, inv_sublayers=1, norm_constant=1e-6),
+        diffusion=DiffusionConfig(timesteps=timesteps),
+        data=DataConfig(),
+        train=TrainConfig(lr=1e-3))
+
+
+def _params(cfg, seed=0):
+    return make_edm(cfg.model, cfg.diffusion).init_params(
+        jax.random.PRNGKey(seed))
+
+
+def _raw_sample(n_atoms, seed, name='frag'):
+    rng = np.random.default_rng(seed)
+    pos = rng.standard_normal((n_atoms, 3)).astype(np.float32) * 2
+    one_hot = np.eye(8, dtype=np.float32)[rng.integers(0, 8, n_atoms)]
+    anchors = np.zeros(n_atoms, np.float32)
+    anchors[[0, n_atoms - 1]] = 1
+    return {
+        'uuid': seed, 'name': f'{name}{seed}',
+        'positions': pos, 'one_hot': one_hot,
+        'charges': np.ones(n_atoms, np.float32) * 6,
+        'anchors': anchors,
+        'fragment_mask': np.ones(n_atoms, np.float32),
+        'linker_mask': np.zeros(n_atoms, np.float32),
+        'num_atoms': n_atoms,
+    }
+
+
+def test_service_cobatches_and_routes_rows_exactly():
+    cfg = _cfg()
+    with SamplingService(cfg, _params(cfg), batch_size=8, max_wait_s=0.5,
+                         node_buckets=(16,)) as svc:
+        reqs = [(_raw_sample(5, 1), 2, 4), (_raw_sample(6, 2), 3, 5),
+                (_raw_sample(4, 3), 1, 3)]
+        futs = [svc.submit(s, n_samples=n, size_spec=size)
+                for s, n, size in reqs]
+        outs = [f.result(timeout=300) for f in futs]
+
+    # all three requests fit one bucket and arrived inside the window —
+    # exactly ONE chain call served them, through ONE compiled program
+    assert svc.stats['batches'] == 1, svc.stats
+    assert svc.stats['requests'] == 3 and svc.stats['rows'] == 6
+    assert len(svc._samplers[16]._compiled) == 1
+
+    for (sample, n, size), out in zip(reqs, outs):
+        assert out['positions'].shape[0] == n
+        assert not out['nan_flag'].any()
+        np.testing.assert_array_equal(out['linker_sizes'],
+                                      np.full(n, size, np.int32))
+        # requested linker size honoured row-wise
+        np.testing.assert_array_equal(
+            out['linker_mask'][..., 0].sum(-1), np.full(n, size, np.float32))
+        # row-exact routing: frozen fragment coords round-trip per request
+        nf = sample['num_atoms']
+        for i in range(n):
+            np.testing.assert_allclose(out['positions'][i, :nf],
+                                       sample['positions'], atol=1e-4)
+
+
+def test_service_overflow_and_second_bucket():
+    cfg = _cfg()
+    with SamplingService(cfg, _params(cfg), batch_size=4, max_wait_s=0.3,
+                         node_buckets=(12, 16)) as svc:
+        small = svc.submit(_raw_sample(5, 7), n_samples=1, size_spec=4)
+        big = svc.submit(_raw_sample(20, 8), n_samples=1, size_spec=6)
+        out_small = small.result(timeout=300)
+        out_big = big.result(timeout=300)
+    assert not out_small['nan_flag'].any()
+    assert not out_big['nan_flag'].any()
+    # 5+4=9 → the 12 bucket; 20+6=26 > 16 → the overflow sampler
+    assert out_small['positions'].shape[1] == 12
+    assert out_big['positions'].shape[1] >= 26
+    assert svc.stats['batches'] == 2
+
+
+def test_service_update_params_keeps_compiled_chains():
+    cfg = _cfg()
+    svc = SamplingService(cfg, _params(cfg, 0), batch_size=4, max_wait_s=0.05,
+                          node_buckets=(16,))
+    try:
+        s = _raw_sample(5, 11)
+        out0 = svc.generate(s, n_samples=2, size_spec=4)
+        n_compiled = len(svc._samplers[16]._compiled)
+        assert svc.update_params(_params(cfg, 1)).result(timeout=60)
+        out1 = svc.generate(s, n_samples=2, size_spec=4)
+        # same compiled program, different weights → different linkers
+        assert len(svc._samplers[16]._compiled) == n_compiled
+        nf = s['num_atoms']
+        assert np.abs(out0['positions'][:, nf:nf + 4]
+                      - out1['positions'][:, nf:nf + 4]).max() > 1e-4
+    finally:
+        svc.close()
+
+
+def test_service_rejects_after_close_and_bad_requests():
+    cfg = _cfg()
+    svc = SamplingService(cfg, _params(cfg), batch_size=4,
+                          node_buckets=(16,))
+    with pytest.raises(KeyError):
+        svc.submit({'positions': np.zeros((3, 3), np.float32)})
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(_raw_sample(5, 0))
+
+
+def test_serve_cli_end_to_end(tmp_path, monkeypatch):
+    """Drive cli.serve's real main: two JSON-line requests through stdin,
+    two result lines out, sdf files written."""
+    from difflinker_tpu.cli import serve as serve_cli
+    from difflinker_tpu.io.xyz import save_xyz_file
+
+    cfg = _cfg()
+    params = _params(cfg)
+    monkeypatch.setattr(serve_cli, 'load_model',
+                        lambda args: (cfg, params))
+
+    one_hot = np.zeros((1, 5, 8), np.float32)
+    one_hot[0, :, 0] = 1  # all carbon
+    pos = np.asarray([[[0.0, 0, 0], [1.5, 0, 0], [0, 1.5, 0],
+                       [3.0, 0, 0], [0, 3.0, 0]]], np.float32)
+    mask = np.ones((1, 5), np.float32)
+    (xyz_path,) = save_xyz_file(str(tmp_path), one_hot, pos, mask,
+                                names=['frag'], is_geom=False)
+
+    lines = [
+        json.dumps({'fragments': xyz_path, 'n_samples': 2, 'linker_size': '3',
+                    'out': str(tmp_path / 'out_a')}),
+        json.dumps({'fragments': xyz_path, 'n_samples': 1, 'linker_size': '4',
+                    'anchors': '1,5', 'out': str(tmp_path / 'out_b')}),
+    ]
+    monkeypatch.setattr('sys.stdin', io.StringIO('\n'.join(lines) + '\n'))
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = serve_cli.main(['--run', 'unused', '--batch-size', '4',
+                             '--buckets', '16', '--max-wait-ms', '200',
+                             '--out', str(tmp_path / 'default')])
+    assert rc == 0
+    results = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert len(results) == 2
+    assert all('error' not in r for r in results), results
+    assert results[0]['linker_sizes'] == [3, 3]
+    assert results[1]['linker_sizes'] == [4]
+    assert len(results[0]['files']) == 2 and len(results[1]['files']) == 1
+    for r in results:
+        for f in r['files']:
+            assert os.path.exists(f) and os.path.getsize(f) > 0
