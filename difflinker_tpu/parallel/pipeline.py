@@ -170,7 +170,9 @@ def egnn_apply_pp(p, h, x, node_mask, linker_mask, edge_mask, *, cfg, mesh,
             # last stage commits finished microbatch t-(S-1)
             w = t - (n_stages - 1)
             wc = jnp.clip(w, 0, n_micro - 1)
-            valid = (w >= 0) & (sid == n_stages - 1)
+            # w < n_micro always holds (t ends at M+S-2) — kept explicit so
+            # bubble recomputes provably never overwrite a committed result
+            valid = (w >= 0) & (w < n_micro) & (sid == n_stages - 1)
 
             def commit(buf, val):
                 keep = jax.lax.dynamic_index_in_dim(buf, wc, 0,
