@@ -173,6 +173,36 @@ def test_pp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
 
+def test_pp_epoch_scan_matches_single_device():
+    """The scanned multi-step epoch program (lax.scan over batches, the
+    production train path) pipelines identically: 3 stacked steps on the
+    4×2 data×stages mesh == single device."""
+    cfg = _exp_cfg()
+    b = _batch()
+    stacked = {k: np.stack([v, v, v]) for k, v in b.items()}
+    stacked['sample_weight'] = np.ones(stacked['positions'].shape[:2],
+                                       np.float32)
+
+    t0 = Trainer(cfg)
+    s0 = t0.init_state(jax.random.PRNGKey(0))
+    s0, m0 = t0.compiled_epoch_scan()(
+        s0, {k: jnp.asarray(v) for k, v in stacked.items()},
+        jax.random.PRNGKey(1), jnp.inf)
+
+    mesh = mesh_lib.make_mesh_pp(4, 2)
+    t1 = Trainer(cfg, mesh=mesh)
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    s1, m1 = t1._sharded_jit(t1.epoch_scan_step, n_lead=1, n_post=2,
+                             out_n=2)(
+        s1, {k: jnp.asarray(v) for k, v in stacked.items()},
+        jax.random.PRNGKey(1), jnp.inf)
+    assert abs(float(m1['loss']) - float(m0['loss'])) < 1e-5
+    assert int(s1['step']) == 3
+    for a, b2 in zip(jax.tree.leaves(s0['params']),
+                     jax.tree.leaves(s1['params'])):
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(a), atol=1e-5)
+
+
 def test_pp_sampler_matches_single_device():
     """The jitted reverse chain (lax.scan of shard_map steps) on the
     data×stages mesh reproduces the single-device samples."""
