@@ -119,8 +119,8 @@ def add_mesh_args(p):
                         'this many devices (pipeline parallelism — '
                         'node-sized point-to-point traffic only, at an '
                         '(S-1)/(M+S-1) bubble; dense layout only, exclusive '
-                        'with --mesh-atoms/--mesh-senders; n_layers must '
-                        'divide it)')
+                        'with --mesh-atoms/--mesh-senders; must be a '
+                        'divisor of n_layers)')
     return p
 
 

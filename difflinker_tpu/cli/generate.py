@@ -17,11 +17,9 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 from difflinker_tpu.cli import common
 from difflinker_tpu.cli.sample import load_model, parse_size_spec
-from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
 from difflinker_tpu.data.collate import collate
 from difflinker_tpu.io.xyz import save_xyz_file, xyz_to_sdf
 from difflinker_tpu.sample.sampler import LinkerSampler
@@ -48,25 +46,10 @@ def build_argparser():
 
 
 def fragment_sample_dict(args, is_geom):
-    mol = read_molecule(args.fragments)
-    positions, one_hot, charges = parse_molecule(mol, is_geom=is_geom)
-    positions = positions - positions.mean(0, keepdims=True)
-    n = len(charges)
-    anchor_flags = np.zeros(n, np.float32)
-    if args.anchors:
-        for a in args.anchors.split(','):
-            anchor_flags[int(a) - 1] = 1
-    name = os.path.splitext(os.path.basename(args.fragments))[0]
-    return {
-        'uuid': 0, 'name': name,
-        'positions': positions.astype(np.float32),
-        'one_hot': one_hot.astype(np.float32),
-        'charges': charges.astype(np.float32),
-        'anchors': anchor_flags,
-        'fragment_mask': np.ones(n, np.float32),
-        'linker_mask': np.zeros(n, np.float32),
-        'num_atoms': n,
-    }
+    from difflinker_tpu.sample.service import sample_from_file
+    anchors = ([int(a) for a in args.anchors.split(',')]
+               if args.anchors else None)
+    return sample_from_file(args.fragments, is_geom=is_geom, anchors=anchors)
 
 
 def resolve_size_spec(args, cfg):

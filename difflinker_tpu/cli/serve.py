@@ -13,7 +13,7 @@ Protocol — one JSON object per stdin line:
 
 One JSON line per request on stdout, in submission order:
 
-    {"name": ..., "files": ["out/x_0.sdf", ...], "nan": 0,
+    {"name": ..., "files": ["out/<name>_r<request#>_0.sdf", ...], "nan": 0,
      "linker_sizes": [...], "seconds": 1.2}
 
 Example:
@@ -75,7 +75,7 @@ def _write_outputs(req_meta, result, is_geom):
     out_dir = req_meta['out']
     os.makedirs(out_dir, exist_ok=True)
     n = result['positions'].shape[0]
-    names = [f'{req_meta["name"]}_{i}' for i in range(n)]
+    names = [f'{req_meta["prefix"]}_{i}' for i in range(n)]
     paths = save_xyz_file(out_dir, result['one_hot'], result['positions'],
                           result['node_mask'], names=names, is_geom=is_geom)
     files = []
@@ -104,13 +104,17 @@ def main(argv=None):
     stop = object()
 
     def writer():
-        """Print results in submission order as their futures resolve."""
+        """Single owner of stdout: prints one JSON line per request, in
+        submission order (bad requests included — they ride the same queue,
+        so lines never interleave or reorder)."""
         while True:
             item = results.get()
             if item is stop:
                 return
             meta, fut, t0 = item
             try:
+                if fut is None:  # request failed before submission
+                    raise ValueError(meta['error'])
                 res = fut.result()
                 files = _write_outputs(meta, res, is_geom)
                 print(json.dumps({
@@ -141,11 +145,16 @@ def main(argv=None):
             fut = service.submit(sample,
                                  n_samples=int(req.get('n_samples', 5)),
                                  size_spec=spec)
-            meta = {'name': sample['name'], 'out': req.get('out', args.out)}
+            # r<N> prefix keeps outputs of requests sharing a fragment
+            # basename (and out dir) from overwriting each other
+            meta = {'name': sample['name'],
+                    'prefix': f'{sample["name"]}_r{n_requests}',
+                    'out': req.get('out', args.out)}
             results.put((meta, fut, time.monotonic()))
-            n_requests += 1
         except Exception as e:
-            print(json.dumps({'error': f'bad request: {e}'}), flush=True)
+            results.put(({'name': None, 'error': f'bad request: {e}'},
+                         None, time.monotonic()))
+        n_requests += 1
 
     results.put(stop)
     wt.join()

@@ -87,9 +87,9 @@ def egnn_apply_pp(p, h, x, node_mask, linker_mask, edge_mask, *, cfg, mesh,
     n_layers = len(p['blocks'])
     if n_layers % n_stages != 0:
         raise ValueError(
-            f'n_layers={n_layers} must divide the stages mesh axis '
-            f'({n_stages}); pick a stage count that partitions the blocks '
-            f'evenly')
+            f'the stages mesh axis ({n_stages}) must divide n_layers '
+            f'({n_layers}) so every stage holds the same number of blocks; '
+            f'pick a stage count from the divisors of n_layers')
     layers_per_stage = n_layers // n_stages
     if edge_mask is None:
         raise ValueError('the pipeline layout needs a dense edge mask '

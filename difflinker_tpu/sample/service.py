@@ -101,8 +101,12 @@ class SamplingService:
         overflow sampler with natural (per-batch) shapes.
       mesh: optional device mesh, forwarded to every sampler (DP/SP/TP/PP
         all compose with serving — the chain is the same jitted program).
-      seed: service-level PRNG root; per-request keys fold a submit counter,
-        so a given (seed, submission order) replays exactly.
+      seed: service-level PRNG root. Per-request size draws fold the submit
+        counter, so they replay for a given (seed, submission order); chain
+        noise additionally folds the batch counter and a request's row
+        placement within its wave, so generated coordinates depend on
+        arrival timing (how requests co-batched) — exact replay needs the
+        same batching, e.g. a single client submitting the same waves.
     """
 
     def __init__(self, cfg: ExperimentConfig, params, *, batch_size: int = 32,
@@ -126,6 +130,7 @@ class SamplingService:
         self._batch_counter = itertools.count()
         self.stats = {'requests': 0, 'rows': 0, 'batches': 0,
                       'padded_rows': 0, 'chain_seconds': 0.0}
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name='sampling-service')
         self._worker.start()
@@ -139,8 +144,13 @@ class SamplingService:
         resolving to the request's slice of the sampler output dict
         (positions/one_hot/node_mask/linker_mask/fragment_mask/nan_flag,
         leading dim n_samples)."""
-        if not self._worker.is_alive():
+        if self._closed or not self._worker.is_alive():
             raise RuntimeError('service is closed')
+        if int(n_samples) > self.batch_size:
+            raise ValueError(
+                f'n_samples={n_samples} exceeds batch_size={self.batch_size} '
+                f'(one request must fit one chain call — split it, or raise '
+                f'batch_size)')
         i = next(self._submit_counter)
         key = jax.random.fold_in(self._key, i)
         samples = [dict(sample) for _ in range(int(n_samples))]
@@ -171,8 +181,10 @@ class SamplingService:
         return done
 
     def close(self):
+        self._closed = True
         self._queue.put(_STOP)
         self._worker.join()
+        self._fail_drained()  # racing submits that slipped in after _STOP
 
     def __enter__(self):
         return self
@@ -183,9 +195,12 @@ class SamplingService:
     # -- worker ---------------------------------------------------------------
 
     def _run(self):
+        carried = None  # request deferred because it didn't fit the wave
         while True:
-            item = self._queue.get()
+            item = carried if carried is not None else self._queue.get()
+            carried = None
             if item is _STOP:
+                self._fail_drained()
                 return
             if isinstance(item, tuple) and item[0] == 'params':
                 self._apply_params(item[1], item[2])
@@ -203,6 +218,7 @@ class SamplingService:
                     break
                 if nxt is _STOP:
                     self._flush(wave)
+                    self._fail_drained()
                     return
                 if isinstance(nxt, tuple) and nxt[0] == 'params':
                     # honour ordering: finish the wave, then swap
@@ -211,10 +227,30 @@ class SamplingService:
                     wave, rows = [], 0
                     deadline = time.monotonic() + self.max_wait_s
                     continue
+                if rows + len(nxt.samples) > self.batch_size:
+                    # never overshoot the compiled batch shape — a ragged
+                    # (B > batch_size) wave would compile a fresh program;
+                    # this request seeds the next wave instead
+                    carried = nxt
+                    break
                 wave.append(nxt)
                 rows += len(nxt.samples)
             if wave:
                 self._flush(wave)
+
+    def _fail_drained(self):
+        """Fail anything still queued at shutdown so no Future ever hangs."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is _STOP:
+                continue
+            fut = (item[2] if isinstance(item, tuple) and item[0] == 'params'
+                   else item.future)
+            if not fut.done():
+                fut.set_exception(RuntimeError('service closed'))
 
     def _apply_params(self, params, done: Future):
         try:
@@ -237,7 +273,10 @@ class SamplingService:
         try:
             samples = [s for r in reqs for s in r.samples]
             sizes = np.concatenate([r.sizes for r in reqs])
-            batch = collate(samples)
+            # collate straight to the bucket's node count: for inpainting
+            # cfgs the template IS the batch (sampler pad_nodes_to never
+            # applies), so this is what keeps those chains one warm shape
+            batch = collate(samples, n_nodes=bucket or None)
             # distinct key stream from the submit-counter folds (salted)
             key = jax.random.fold_in(
                 jax.random.fold_in(self._key, 0x5e41ce),

@@ -119,6 +119,23 @@ def test_service_update_params_keeps_compiled_chains():
         svc.close()
 
 
+def test_service_never_overshoots_the_compiled_batch_shape():
+    """A wave stops BEFORE exceeding batch_size (the deferred request seeds
+    the next wave), so every chain call runs at the one compiled shape; a
+    single request bigger than batch_size is refused up front."""
+    cfg = _cfg()
+    with SamplingService(cfg, _params(cfg), batch_size=4, max_wait_s=0.5,
+                         node_buckets=(16,)) as svc:
+        with pytest.raises(ValueError, match='batch_size'):
+            svc.submit(_raw_sample(5, 0), n_samples=5)
+        futs = [svc.submit(_raw_sample(5, s), n_samples=3, size_spec=4)
+                for s in (21, 22)]
+        outs = [f.result(timeout=300) for f in futs]
+    assert all(not o['nan_flag'].any() for o in outs)
+    assert svc.stats['batches'] == 2       # 3+3 rows can't share one 4-row call
+    assert len(svc._samplers[16]._compiled) == 1  # ...but share ONE program
+
+
 def test_service_rejects_after_close_and_bad_requests():
     cfg = _cfg()
     svc = SamplingService(cfg, _params(cfg), batch_size=4,
