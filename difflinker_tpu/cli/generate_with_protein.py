@@ -107,6 +107,19 @@ def run(args, pocket_is_precut: bool):
             'require anchor information')
     cfg = common.apply_respacing(cfg, args)
     sample, center = build_pocket_sample(args, pocket_is_precut)
+    nf_model, nf_input = cfg.model.in_node_nf, sample['one_hot'].shape[-1]
+    if nf_model != nf_input:
+        # without this the mismatch surfaces as an opaque XLA broadcast
+        # error ((B,N,nf_input+3) vs (B,N,nf_model+3)) deep inside the jit
+        vocab = {8: 'ZINC', 9: 'GEOM'}
+        raise SystemExit(
+            f'atom-type vocab mismatch: the model expects {nf_model} one-hot '
+            f'channels ({vocab.get(nf_model, "custom")} vocab) but the parsed '
+            f'input has {nf_input} ({vocab.get(nf_input, "custom")} vocab). '
+            f'The pocket CLIs parse files with the GEOM vocab (as the '
+            f'reference generate_with_protein.py does) — use a pocket model '
+            f'trained with in_node_nf={nf_input}, or record "in_node_nf" in '
+            f'the params sidecar .config.json.')
     batch = collate([dict(sample) for _ in range(args.n_samples)])
 
     sampler = LinkerSampler(cfg, params, mesh=common.build_mesh(args))

@@ -211,3 +211,37 @@ def test_generate_with_pocket_main_reaches_run(tmp_path, monkeypatch):
     rc = gwp.main(['--fragments', 'f.sdf', '--pocket', 'p.pdb',
                    '--run', str(tmp_path), '--anchors', '1,2'])
     assert rc == 0 and called == {'pocket': True}
+
+
+def test_pocket_cli_vocab_mismatch_is_a_clear_error(tmp_path):
+    """A ZINC-vocab (in_node_nf=8) model against the pocket CLIs' GEOM-parsed
+    inputs must exit with a vocab-mismatch message, not an opaque XLA
+    broadcast error deep inside the jitted chain."""
+    import json
+    import jax
+    from difflinker_tpu.demo import recipe_config
+    from difflinker_tpu.diffusion.edm import make_edm
+    from difflinker_tpu.io.checkpoints import save_params_npz
+    import difflinker_tpu.cli.generate_with_pocket as gwp
+
+    meta = {'hidden': 8, 'layers': 1, 'timesteps': 4, 'pocket': True}
+    cfg = recipe_config(meta)
+    assert cfg.model.in_node_nf == 8  # the sidecar default (ZINC vocab)
+    params = make_edm(cfg.model, cfg.diffusion).init_params(
+        jax.random.PRNGKey(0))
+    npz = str(tmp_path / 'pocket8.npz')
+    save_params_npz(params, npz)
+    with open(npz + '.config.json', 'w') as f:
+        json.dump(meta, f)
+
+    frags = tmp_path / 'frags.xyz'
+    frags.write_text('2\nfrags\nC 0.0 0.0 0.0\nO 1.5 0.0 0.0\n')
+    pocket = tmp_path / 'pocket.pdb'
+    pocket.write_text(
+        'ATOM      1   N  POC A   1       4.000   0.000   0.000'
+        '  1.00  0.00           N\nEND\n')
+
+    with pytest.raises(SystemExit, match='vocab mismatch'):
+        gwp.main(['--fragments', str(frags), '--pocket', str(pocket),
+                  '--params', npz, '--n-samples', '1',
+                  '--out', str(tmp_path / 'out')])
