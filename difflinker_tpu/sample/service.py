@@ -176,6 +176,10 @@ class SamplingService:
     def update_params(self, params):
         """Swap weights between batches, in request order (compiled chains
         are reused — params are jit arguments)."""
+        if self._closed or not self._worker.is_alive():
+            # without this the swap item sits in a dead queue and the
+            # returned Future hangs forever (close() has already drained)
+            raise RuntimeError('service is closed')
         done = Future()
         self._queue.put(('params', params, done))
         return done

@@ -145,6 +145,9 @@ def test_service_rejects_after_close_and_bad_requests():
     svc.close()
     with pytest.raises(RuntimeError):
         svc.submit(_raw_sample(5, 0))
+    with pytest.raises(RuntimeError):
+        # must raise, not return a Future that hangs on a dead worker
+        svc.update_params(_params(cfg))
 
 
 def test_serve_cli_end_to_end(tmp_path, monkeypatch):
