@@ -7,9 +7,12 @@ with its released pocket checkpoint. That checkpoint is unfetchable here
 (zero-egress container), so this demo runs the same journeys — real
 published fragment SDFs, real protein PDBs, the reference's anchor indices
 and linker sizes — through `cli.generate_with_protein` with the bundled
-pocket demo weights (examples/params/pocket_h256.npz, trained on synthetic
-complexes): the point is the full protein → 6Å-contact pocket → template →
-chain → un-center → write → score pipeline on the real inputs. Outputs are
+GEOM-vocab pocket demo weights (examples/params/pocket_geom_h256.npz,
+trained on synthetic complexes; the pocket CLIs parse real files with the
+GEOM vocab, so a ZINC-vocab model is a vocab mismatch) plus the bundled
+pocket size-GNN for the HSP90 'learned'-size leg: the point is the full
+protein → 6Å-contact pocket → template → chain → un-center → write → score
+pipeline on the real inputs. Outputs are
 scored with the native chemistry stack (validity / connectivity /
 uniqueness on the linker-bearing molecule).
 
@@ -28,9 +31,11 @@ REF = '/root/reference/case_studies'
 
 CASES = [
     # (name, fragments, protein, anchors, linker sizes) — per the
-    # case_studies/*/README.md command lines
+    # case_studies/*/README.md command lines; 'learned' mirrors the HSP90
+    # command's size-GNN checkpoint (falls back to the categorical prior
+    # when no --size-model is bundled)
     ('hsp90', 'hsp90/3hz1_modified_fragments_obabel.sdf',
-     'hsp90/3hz1_protein.pdb', '12,22', ['prior']),
+     'hsp90/3hz1_protein.pdb', '12,22', ['learned']),
     ('impdh', 'impdh/5ou2_fragments_input.sdf',
      'impdh/5ou2_protein.pdb', '2,21', [5, 6]),
     ('jnk', 'jnk/3fi3_fragments.sdf',
@@ -61,7 +66,12 @@ def score_outputs(out_dir):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--params', default='examples/params/pocket_h256.npz')
+    p.add_argument('--params', default='examples/params/pocket_geom_h256.npz')
+    p.add_argument('--size-model',
+                   default='examples/params/size_pocket_geom.ckpt',
+                   help="SizeGNN .ckpt for the 'learned' size spec "
+                        "(hsp90's recipe); missing file falls back to "
+                        "'prior'")
     p.add_argument('--n-samples', type=int, default=32)
     p.add_argument('--steps', type=int, default=100,
                    help='respaced chain length (pocket quality flat to '
@@ -83,12 +93,22 @@ def main():
         case = {}
         for size in sizes:
             out_dir = os.path.join(args.work, name, f'size_{size}')
+            extra = []
+            if size == 'learned':
+                if os.path.exists(args.size_model):
+                    extra = ['--size-model', args.size_model]
+                    size_arg = 'prior'  # ignored when --size-model is set
+                else:
+                    size_arg = 'prior'
+            else:
+                size_arg = str(size)
             t0 = time.monotonic()
             rc = gwp.main([
                 '--fragments', frag_path, '--protein', pdb_path,
-                '--params', args.params, '--linker-size', str(size),
+                '--params', args.params, '--linker-size', size_arg,
                 '--anchors', anchors, '--n-samples', str(args.n_samples),
-                '--steps', str(args.steps), '--out', out_dir, '--seed', '1'])
+                '--steps', str(args.steps), '--out', out_dir,
+                '--seed', '1'] + extra)
             assert rc == 0, f'{name} size={size} failed'
             scores = score_outputs(out_dir)
             scores['seconds'] = round(time.monotonic() - t0, 1)
