@@ -16,13 +16,10 @@ import os
 import sys
 
 import jax
-import numpy as np
 
 from difflinker_tpu.cli import common
 from difflinker_tpu.cli.generate import resolve_size_spec
 from difflinker_tpu.cli.sample import load_model
-from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
-from difflinker_tpu.chem.pdb import extract_pocket, read_pocket_pdb
 from difflinker_tpu.data.collate import collate
 from difflinker_tpu.io.xyz import save_xyz_file, xyz_to_sdf
 from difflinker_tpu.sample.sampler import LinkerSampler
@@ -55,43 +52,18 @@ def build_argparser(pocket_is_precut: bool = False):
 
 
 def build_pocket_sample(args, is_precut: bool):
-    mol = read_molecule(args.fragments)
-    frag_pos, frag_oh, frag_q = parse_molecule(mol, is_geom=True)
-    if is_precut:
-        pk_pos, pk_oh, pk_q = read_pocket_pdb(args.pocket, args.backbone)
-    else:
-        pk_pos, pk_oh, pk_q = extract_pocket(frag_pos, args.protein,
-                                             args.backbone)
-    common.log(f'fragments: {len(frag_q)} atoms; pocket: {len(pk_q)} atoms')
-
-    positions = np.concatenate([frag_pos, pk_pos], axis=0)
-    center = frag_pos.mean(0, keepdims=True)
-    positions = positions - center
-    one_hot = np.concatenate([frag_oh, pk_oh], axis=0)
-    charges = np.concatenate([frag_q, pk_q], axis=0)
-    n_frag, n = len(frag_q), len(charges)
-
-    anchors = np.zeros(n, np.float32)
-    if args.anchors:
-        for a in args.anchors.split(','):
-            anchors[int(a) - 1] = 1
-
-    def seg(lo, hi):
-        m = np.zeros(n, np.float32)
-        m[lo:hi] = 1
-        return m
-
-    name = os.path.splitext(os.path.basename(args.fragments))[0]
-    return {
-        'uuid': 0, 'name': name,
-        'positions': positions.astype(np.float32), 'one_hot': one_hot,
-        'charges': charges, 'anchors': anchors,
-        'fragment_only_mask': seg(0, n_frag),
-        'pocket_mask': seg(n_frag, n),
-        'fragment_mask': seg(0, n),
-        'linker_mask': np.zeros(n, np.float32),
-        'num_atoms': n,
-    }, center
+    from difflinker_tpu.sample.service import pocket_sample_from_files
+    anchors = ([int(a) for a in args.anchors.split(',')]
+               if args.anchors else None)
+    sample, center = pocket_sample_from_files(
+        args.fragments,
+        pocket=args.pocket if is_precut else None,
+        protein=None if is_precut else args.protein,
+        backbone=args.backbone, anchors=anchors, is_geom=True)
+    n_pocket = int(sample['pocket_mask'].sum())
+    common.log(f'fragments: {sample["num_atoms"] - n_pocket} atoms; '
+               f'pocket: {n_pocket} atoms')
+    return sample, center
 
 
 def run(args, pocket_is_precut: bool):

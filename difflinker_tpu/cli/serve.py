@@ -9,7 +9,14 @@ Protocol — one JSON object per stdin line:
      "n_samples": 5,               # samplings of this fragment set
      "linker_size": "prior",      # int | "lo,hi" | "prior" | "ground_truth"
      "anchors": "1,4",            # optional 1-based anchor indices
+     "pocket": "pocket.pdb",      # optional pre-cut pocket PDB, or
+     "protein": "prot.pdb",       # optional full protein PDB (6Å extraction)
+     "backbone": false,            # keep only N/CA/C/O pocket atoms
      "out": "output"}              # output dir (default --out)
+
+Pocket-conditioned serving (a pocket model + "pocket"/"protein" requests)
+writes outputs in the protein frame with the pocket rows stripped — the
+same conventions as cli.generate_with_protein / _with_pocket.
 
 One JSON line per request on stdout, in submission order:
 
@@ -74,10 +81,16 @@ def _write_outputs(req_meta, result, is_geom):
     from difflinker_tpu.io.xyz import save_xyz_file, xyz_to_sdf
     out_dir = req_meta['out']
     os.makedirs(out_dir, exist_ok=True)
-    n = result['positions'].shape[0]
+    node_mask, positions = result['node_mask'], result['positions']
+    if req_meta.get('center') is not None:
+        # pocket request: back to the protein frame, pocket rows stripped
+        # (sample.py:141-164 / generate_with_protein.py conventions)
+        node_mask = node_mask - result['pocket_mask']
+        positions = positions + req_meta['center']
+    n = positions.shape[0]
     names = [f'{req_meta["prefix"]}_{i}' for i in range(n)]
-    paths = save_xyz_file(out_dir, result['one_hot'], result['positions'],
-                          result['node_mask'], names=names, is_geom=is_geom)
+    paths = save_xyz_file(out_dir, result['one_hot'], positions,
+                          node_mask, names=names, is_geom=is_geom)
     files = []
     for p in paths:
         xyz_to_sdf(p, p[:-4] + '.sdf')
@@ -92,7 +105,9 @@ def main(argv=None):
     cfg = common.apply_respacing(cfg, args)
     is_geom = cfg.data.is_geom
 
-    from difflinker_tpu.sample.service import SamplingService, sample_from_file
+    from difflinker_tpu.sample.service import (SamplingService,
+                                               pocket_sample_from_files,
+                                               sample_from_file)
     service = SamplingService(
         cfg, params, batch_size=args.batch_size,
         max_wait_s=args.max_wait_ms / 1000.0,
@@ -138,8 +153,16 @@ def main(argv=None):
             req = json.loads(line)
             anchors = [int(a) for a in str(req['anchors']).split(',')
                        ] if req.get('anchors') else None
-            sample = sample_from_file(req['fragments'], is_geom=is_geom,
-                                      anchors=anchors)
+            center = None
+            if req.get('pocket') or req.get('protein'):
+                sample, center = pocket_sample_from_files(
+                    req['fragments'], pocket=req.get('pocket'),
+                    protein=req.get('protein'),
+                    backbone=bool(req.get('backbone')),
+                    anchors=anchors, is_geom=is_geom)
+            else:
+                sample = sample_from_file(req['fragments'], is_geom=is_geom,
+                                          anchors=anchors)
             spec = (parse_size_spec(str(req['linker_size']))
                     if 'linker_size' in req else default_spec)
             fut = service.submit(sample,
@@ -149,7 +172,7 @@ def main(argv=None):
             # basename (and out dir) from overwriting each other
             meta = {'name': sample['name'],
                     'prefix': f'{sample["name"]}_r{n_requests}',
-                    'out': req.get('out', args.out)}
+                    'out': req.get('out', args.out), 'center': center}
             results.put((meta, fut, time.monotonic()))
         except Exception as e:
             results.put(({'name': None, 'error': f'bad request: {e}'},

@@ -76,6 +76,64 @@ def sample_from_file(path: str, *, is_geom: bool = False,
     }
 
 
+def pocket_sample_from_files(fragments: str, *, pocket: Optional[str] = None,
+                             protein: Optional[str] = None,
+                             backbone: bool = False,
+                             anchors: Optional[Sequence[int]] = None,
+                             is_geom: bool = True):
+    """Raw pocket-conditioned sample dict from a fragment file plus either a
+    pre-cut pocket PDB (`pocket`) or a full protein PDB (`protein`, pocket
+    extracted as the 6Å-contact residues — generate_with_protein.py:85-147).
+
+    Returns `(sample, center)`: the sample is CoM-centred on the fragments
+    ([fragment | pocket] row order, MOAD mask convention); `center` (1, 3)
+    restores outputs to the protein frame. `anchors` are 1-based fragment
+    atom indices."""
+    import os
+    from difflinker_tpu.chem.io_rdkit import parse_molecule, read_molecule
+    from difflinker_tpu.chem.pdb import extract_pocket, read_pocket_pdb
+    if (pocket is None) == (protein is None):
+        raise ValueError('pass exactly one of pocket= (pre-cut PDB) or '
+                         'protein= (full PDB, 6Å extraction)')
+    mol = read_molecule(fragments)
+    frag_pos, frag_oh, frag_q = parse_molecule(mol, is_geom=is_geom)
+    if pocket is not None:
+        pk_pos, pk_oh, pk_q = read_pocket_pdb(pocket, backbone)
+    else:
+        pk_pos, pk_oh, pk_q = extract_pocket(frag_pos, protein, backbone)
+
+    positions = np.concatenate([frag_pos, pk_pos], axis=0)
+    center = frag_pos.mean(0, keepdims=True)
+    positions = positions - center
+    one_hot = np.concatenate([frag_oh, pk_oh], axis=0)
+    charges = np.concatenate([frag_q, pk_q], axis=0)
+    n_frag, n = len(frag_q), len(charges)
+
+    anchor_flags = np.zeros(n, np.float32)
+    for a in anchors or ():
+        anchor_flags[int(a) - 1] = 1
+
+    def seg(lo, hi):
+        m = np.zeros(n, np.float32)
+        m[lo:hi] = 1
+        return m
+
+    sample = {
+        'uuid': 0,
+        'name': os.path.splitext(os.path.basename(fragments))[0],
+        'positions': positions.astype(np.float32),
+        'one_hot': one_hot.astype(np.float32),
+        'charges': charges.astype(np.float32),
+        'anchors': anchor_flags,
+        'fragment_only_mask': seg(0, n_frag),
+        'pocket_mask': seg(n_frag, n),
+        'fragment_mask': seg(0, n),
+        'linker_mask': np.zeros(n, np.float32),
+        'num_atoms': n,
+    }
+    return sample, center
+
+
 @dataclass
 class _Request:
     samples: List[Dict]          # n_samples copies of the raw sample dict
@@ -151,6 +209,13 @@ class SamplingService:
                 f'n_samples={n_samples} exceeds batch_size={self.batch_size} '
                 f'(one request must fit one chain call — split it, or raise '
                 f'batch_size)')
+        nf = int(np.asarray(sample['one_hot']).shape[-1])
+        if nf != self.cfg.model.in_node_nf:
+            # fail in the caller, not as an XLA broadcast error in the worker
+            raise ValueError(
+                f'atom-type vocab mismatch: model expects '
+                f'{self.cfg.model.in_node_nf} one-hot channels, request has '
+                f'{nf} (ZINC vocab is 8 channels, GEOM is 9)')
         i = next(self._submit_counter)
         key = jax.random.fold_in(self._key, i)
         samples = [dict(sample) for _ in range(int(n_samples))]

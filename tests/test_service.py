@@ -192,3 +192,118 @@ def test_serve_cli_end_to_end(tmp_path, monkeypatch):
     for r in results:
         for f in r['files']:
             assert os.path.exists(f) and os.path.getsize(f) > 0
+
+
+def _pocket_cfg(in_node_nf=8, timesteps=5):
+    from difflinker_tpu.config import (DatasetFamily, GraphType, PocketMode)
+    return ExperimentConfig(
+        model=ModelConfig(in_node_nf=in_node_nf, context_node_nf=3,
+                          hidden_nf=16, n_layers=1, inv_sublayers=1,
+                          norm_constant=1e-6, graph_type=GraphType.A4),
+        diffusion=DiffusionConfig(timesteps=timesteps),
+        data=DataConfig(family=DatasetFamily.MOAD,
+                        pocket_mode=PocketMode.FULL),
+        train=TrainConfig(lr=1e-3))
+
+
+def _raw_pocket_sample(n_frag, n_pocket, seed, nf=8):
+    rng = np.random.default_rng(seed)
+    n = n_frag + n_pocket
+    pos = rng.standard_normal((n, 3)).astype(np.float32) * 2
+    one_hot = np.eye(nf, dtype=np.float32)[rng.integers(0, nf, n)]
+    anchors = np.zeros(n, np.float32)
+    anchors[[0, n_frag - 1]] = 1
+    seg = np.zeros(n, np.float32)
+    seg[:n_frag] = 1
+    return {
+        'uuid': seed, 'name': f'pk{seed}',
+        'positions': pos, 'one_hot': one_hot,
+        'charges': np.ones(n, np.float32) * 6, 'anchors': anchors,
+        'fragment_only_mask': seg, 'pocket_mask': 1 - seg,
+        'fragment_mask': np.ones(n, np.float32),
+        'linker_mask': np.zeros(n, np.float32), 'num_atoms': n,
+    }
+
+
+def test_service_pocket_requests_cobatch_and_route():
+    """Pocket-conditioned serving: MOAD-convention sample dicts ride the
+    same batching path; frozen rows (fragments AND pocket) round-trip
+    per request and the result carries the pocket mask for stripping."""
+    cfg = _pocket_cfg()
+    with SamplingService(cfg, _params(cfg), batch_size=8, max_wait_s=0.5,
+                         node_buckets=(24,)) as svc:
+        reqs = [(_raw_pocket_sample(4, 6, 31), 2, 3),
+                (_raw_pocket_sample(5, 7, 32), 1, 4)]
+        futs = [svc.submit(s, n_samples=n, size_spec=size)
+                for s, n, size in reqs]
+        outs = [f.result(timeout=300) for f in futs]
+    assert svc.stats['batches'] == 1
+    for (sample, n, size), out in zip(reqs, outs):
+        assert out['positions'].shape[0] == n
+        assert not out['nan_flag'].any()
+        n_in = sample['num_atoms']
+        assert out['pocket_mask'][..., 0].sum(-1).tolist() == [
+            float(sample['pocket_mask'].sum())] * n
+        np.testing.assert_array_equal(
+            out['linker_mask'][..., 0].sum(-1), np.full(n, size, np.float32))
+        for i in range(n):
+            np.testing.assert_allclose(out['positions'][i, :n_in],
+                                       sample['positions'], atol=1e-4)
+
+
+def test_service_rejects_vocab_mismatch():
+    cfg = _cfg()  # in_node_nf=8
+    with SamplingService(cfg, _params(cfg), batch_size=4,
+                         node_buckets=(16,)) as svc:
+        bad = _raw_sample(5, 0)
+        bad['one_hot'] = np.eye(9, dtype=np.float32)[
+            np.zeros(5, np.int64)]
+        with pytest.raises(ValueError, match='vocab mismatch'):
+            svc.submit(bad)
+
+
+def test_serve_cli_pocket_request(tmp_path, monkeypatch):
+    """cli.serve end-to-end on a pocket model: the request carries a pre-cut
+    pocket PDB; the written output is in the protein frame with the pocket
+    rows stripped (generate_with_protein conventions)."""
+    from difflinker_tpu.cli import serve as serve_cli
+    from difflinker_tpu.io.xyz import load_xyz, save_xyz_file
+
+    cfg = _pocket_cfg(in_node_nf=9)  # the GEOM vocab the parse path uses
+    params = _params(cfg)
+    monkeypatch.setattr(serve_cli, 'load_model', lambda args: (cfg, params))
+
+    one_hot = np.zeros((1, 5, 9), np.float32)
+    one_hot[0, :, 0] = 1  # all carbon
+    pos = np.asarray([[[10.0, 0, 0], [11.5, 0, 0], [10.0, 1.5, 0],
+                       [13.0, 0, 0], [10.0, 3.0, 0]]], np.float32)
+    mask = np.ones((1, 5), np.float32)
+    (xyz_path,) = save_xyz_file(str(tmp_path), one_hot, pos, mask,
+                                names=['pkfrag'], is_geom=True)
+    pdb_path = tmp_path / 'pocket.pdb'
+    pdb_path.write_text(
+        'ATOM      1   N  POC A   1      14.000   0.000   0.000'
+        '  1.00  0.00           N\n'
+        'ATOM      2   O  POC A   1      10.000   4.500   0.000'
+        '  1.00  0.00           O\nEND\n')
+
+    line = json.dumps({'fragments': xyz_path, 'pocket': str(pdb_path),
+                       'n_samples': 1, 'linker_size': '3', 'anchors': '1,5',
+                       'out': str(tmp_path / 'out')})
+    monkeypatch.setattr('sys.stdin', io.StringIO(line + '\n'))
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = serve_cli.main(['--run', 'unused', '--batch-size', '4',
+                             '--buckets', '16', '--max-wait-ms', '50'])
+    assert rc == 0
+    (result,) = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert 'error' not in result, result
+    assert result['linker_sizes'] == [3]
+    (sdf,) = result['files']
+    out_xyz = sdf[:-4] + '.xyz'
+    got_pos, symbols = load_xyz(out_xyz)
+    # 5 fragment + 3 linker atoms; the 2 pocket atoms are stripped
+    assert len(symbols) == 8
+    # protein frame restored: fragment rows match the input file exactly
+    np.testing.assert_allclose(got_pos[:5], pos[0], atol=1e-3)
