@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from difflinker_tpu.constants import (BOND1_THRESHOLD, BOND2_THRESHOLD,
-                                      BOND3_THRESHOLD)
+                                      BOND3_THRESHOLD, MAX_VALENCE)
 
 
 def bond_order_matrix(positions: np.ndarray, atom_types: np.ndarray) -> np.ndarray:
@@ -43,6 +43,55 @@ def bond_order_matrix(positions: np.ndarray, atom_types: np.ndarray) -> np.ndarr
     order = np.where((order >= 2) & (thr3 > 0) & (dist_pm < thr3), 3, order)
     np.fill_diagonal(order, 0)
     return order
+
+
+def repair_valences(bonds: np.ndarray, positions: np.ndarray,
+                    atom_types: np.ndarray) -> np.ndarray:
+    """Downgrade over-assigned multiple bonds until no atom exceeds its max
+    valence (ALLOWED_BONDS, src/const.py:156-173).
+
+    Pure distance thresholds cannot kekulize aromatic rings: every bond in
+    e.g. an imidazole sits at 1.31-1.40 Å, under the order-2 threshold, so the
+    raw table assigns adjacent doubles and nitrogens end up 4-valent — the
+    reference never hits this because its published metric protocol re-derives
+    bonds with openbabel (reformat_data_obabel.py:23), whose perception
+    resolves conjugation before RDKit sanitization. This pass recovers that
+    behaviour in the native tier: while any atom exceeds MAX_VALENCE, the
+    incident order>=2 bond that sits *closest to its threshold* (largest
+    dist/threshold ratio — the least confident multiple-bond call) is
+    downgraded by one. Bond order only ever decreases, so connectivity is
+    preserved and the loop terminates; molecules with no over-valent atoms
+    are returned bit-identical.
+    """
+    bonds = np.array(bonds, np.int8, copy=True)
+    n = bonds.shape[0]
+    if n == 0:
+        return bonds
+    pos = np.asarray(positions, np.float64)
+    t = np.asarray(atom_types, np.int64)
+    diff = pos[:, None, :] - pos[None, :, :]
+    dist_pm = 100.0 * np.sqrt((diff ** 2).sum(-1))
+    thr = {2: BOND2_THRESHOLD[t[:, None], t[None, :]],
+           3: BOND3_THRESHOLD[t[:, None], t[None, :]]}
+    maxv = MAX_VALENCE[t]
+    while True:
+        excess = bonds.sum(1) - maxv
+        over = np.where(excess > 0)[0]
+        if len(over) == 0:
+            return bonds
+        progressed = False
+        for i in over:
+            multi = np.where(bonds[i] >= 2)[0]
+            if len(multi) == 0:
+                continue  # crowded all-single geometry: genuinely unrepairable
+            ratios = [dist_pm[i, j] / max(thr[int(bonds[i, j])][i, j], 1e-9)
+                      for j in multi]
+            j = multi[int(np.argmax(ratios))]
+            bonds[i, j] -= 1
+            bonds[j, i] -= 1
+            progressed = True
+        if not progressed:
+            return bonds
 
 
 def connected_components(adj: np.ndarray) -> np.ndarray:

@@ -56,10 +56,13 @@ class MolGraph:
         """Valence sanity: no atom exceeds its max allowed bond-order sum
         (ALLOWED_BONDS, src/const.py:156-173). A cheaper stand-in for RDKit
         SanitizeMol when RDKit is unavailable; exact sanitize runs via
-        to_rdkit() when it is."""
+        to_rdkit() when it is. MOL-V2000 aromatic bonds (order 4, as authored
+        in e.g. the published JNK case-study SDF) count 1.5 valence units
+        each — benzene carbon: 2x1.5 + 1 = 4."""
         if self.n_atoms == 0:
             return False
-        valence = self.bonds.sum(1)
+        b = np.where(self.bonds == 4, 1.5, self.bonds.astype(np.float64))
+        valence = b.sum(1)
         return bool((valence <= constants.MAX_VALENCE[self.atom_types]).all()
                     and (valence > 0).all() if self.n_atoms > 1 else True)
 
@@ -138,13 +141,21 @@ class MolGraph:
 # ---------------------------------------------------------------------------
 
 def build_molecule(positions: np.ndarray, atom_types: np.ndarray,
-                   is_geom: bool = True) -> MolGraph:
+                   is_geom: bool = True, repair: bool = True) -> MolGraph:
     # is_geom only alters the vocab in the reference; GEOM is a superset of
     # ZINC with identical indices, so the dense tables cover both.
+    # repair=True runs the over-valence downgrade pass (chem/bonds.py::
+    # repair_valences) that stands in for openbabel's conjugation-aware
+    # perception in the published metric protocol; repair=False is the raw
+    # reference table (src/molecule_builder.py:44-102) for parity tests.
     del is_geom
+    bonds = bond_order_matrix(positions, atom_types)
+    if repair:
+        from difflinker_tpu.chem.bonds import repair_valences
+        bonds = repair_valences(bonds, positions, atom_types)
     return MolGraph(np.asarray(atom_types, np.int64),
                     np.asarray(positions, np.float32),
-                    bond_order_matrix(positions, atom_types))
+                    bonds)
 
 
 def build_molecules(one_hot, positions, node_mask, is_geom: bool = True
@@ -162,6 +173,30 @@ def build_molecules(one_hot, positions, node_mask, is_geom: bool = True
         types = one_hot[b][keep].argmax(-1)
         out.append(build_molecule(positions[b][keep], types, is_geom))
     return out
+
+
+def with_authored_fragment_bonds(generated: MolGraph,
+                                 fragments: MolGraph) -> MolGraph:
+    """Overwrite the fragment-fragment bond block of a generated molecule
+    with the bonds authored in the input fragment SDF.
+
+    Linker generation holds fragment atoms bit-exactly fixed (the first
+    `fragments.n_atoms` rows of the sample layout), so their chemistry is
+    *given*, not something bond perception needs to rediscover — and published
+    crystal-derived inputs contain bonds pure geometry cannot recover (the JNK
+    case study authors an N-C bond at 1.70 Å, past every distance table; its
+    rings are authored aromatic). Only bonds involving generated linker atoms
+    stay geometric. This mirrors the reference protocol, where openbabel's
+    connectivity perception (reformat_data_obabel.py:23) tolerates such bonds
+    via covalent-radius rules.
+    """
+    n = fragments.n_atoms
+    if generated.n_atoms < n:
+        raise ValueError(f'generated molecule has {generated.n_atoms} atoms, '
+                         f'fewer than the {n} fragment atoms')
+    bonds = np.array(generated.bonds, copy=True)
+    bonds[:n, :n] = fragments.bonds
+    return MolGraph(generated.atom_types, generated.positions, bonds)
 
 
 def chem_env_provenance() -> dict:

@@ -43,13 +43,23 @@ CASES = [
 ]
 
 
-def score_outputs(out_dir):
+def score_outputs(out_dir, fragments_sdf=None):
+    """Score generated xyz outputs. When the input fragment SDF is given, its
+    authored bonds replace the perceived fragment-fragment block
+    (chem.molgraph.with_authored_fragment_bonds): fragment atoms are held
+    fixed by the sampler, so their chemistry is input data — only the
+    generated linker is judged geometrically."""
     from difflinker_tpu.chem.io_rdkit import read_molecule
     from difflinker_tpu.chem.metrics import canonical_key, is_connected, is_valid
+    from difflinker_tpu.chem.molgraph import with_authored_fragment_bonds
+    frag = read_molecule(fragments_sdf) if fragments_sdf else None
     mols = []
     for path in sorted(glob.glob(os.path.join(out_dir, '*.xyz'))):
         try:
-            mols.append(read_molecule(path))
+            m = read_molecule(path)
+            if frag is not None:
+                m = with_authored_fragment_bonds(m, frag)
+            mols.append(m)
         except Exception:
             mols.append(None)
     n = len(mols)
@@ -110,7 +120,7 @@ def main():
                 '--steps', str(args.steps), '--out', out_dir,
                 '--seed', '1'] + extra)
             assert rc == 0, f'{name} size={size} failed'
-            scores = score_outputs(out_dir)
+            scores = score_outputs(out_dir, fragments_sdf=frag_path)
             scores['seconds'] = round(time.monotonic() - t0, 1)
             case[f'size_{size}'] = scores
             print(f'[{name}] size={size}: {scores}')

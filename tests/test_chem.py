@@ -160,3 +160,89 @@ def test_delinker_native_fallback():
         'DeLinker/SC_RDKit'}
     assert res['DeLinker/validity'] == 1.0
     assert res['DeLinker/recovery'] == 1.0
+
+# ---------------------------------------------------------------------------
+# valence repair + authored-bond grafting (the published case-study inputs
+# exposed both: aromatic rings mis-kekulize under pure distance thresholds,
+# and 3fi3_fragments.sdf authors an N-C bond at 1.70 A + order-4 ring bonds)
+# ---------------------------------------------------------------------------
+
+def test_repair_valences_downgrades_least_confident_double():
+    from difflinker_tpu.chem.bonds import repair_valences
+    # N flanked by two C at double-bond distances: raw table gives N two
+    # doubles (valence 4 > 3); the longer (less confident) one must drop to 1
+    pos = np.asarray([[0, 0, 0], [-1.29, 0, 0], [1.33, 0, 0]], np.float64)
+    types = np.asarray([2, 0, 0])  # N, C, C
+    raw = bond_order_matrix(pos, types)
+    assert raw[0, 1] == 2 and raw[0, 2] == 2
+    fixed = repair_valences(raw, pos, types)
+    assert fixed[0, 1] == 2 and fixed[0, 2] == 1  # longer bond downgraded
+    assert (fixed == fixed.T).all()
+
+
+def test_repair_valences_noop_when_valences_fit():
+    from difflinker_tpu.chem.bonds import repair_valences
+    m = _ethane_like()
+    fixed = repair_valences(m.bonds, m.positions, m.atom_types)
+    np.testing.assert_array_equal(fixed, m.bonds)
+
+
+def test_is_valid_counts_aromatic_bonds_as_1_5():
+    # benzene authored with MOL-V2000 order-4 ring bonds: each C carries
+    # 2 x 1.5 = 3 <= 4 -> valid; the literal sum (8) would reject it
+    n = 6
+    bonds = np.zeros((n, n), np.int8)
+    for i in range(n):
+        bonds[i, (i + 1) % n] = bonds[(i + 1) % n, i] = 4
+    ring = MolGraph(np.zeros(n, np.int64), np.zeros((n, 3), np.float32), bonds)
+    assert ring.is_valid()
+    # but aromatic over-valence is still caught: N (max 3) with 3 aromatics
+    bonds2 = np.zeros((4, 4), np.int8)
+    for j in (1, 2, 3):
+        bonds2[0, j] = bonds2[j, 0] = 4
+    star = MolGraph(np.asarray([2, 0, 0, 0]), np.zeros((4, 3), np.float32),
+                    bonds2)
+    assert not star.is_valid()
+
+
+def test_with_authored_fragment_bonds():
+    from difflinker_tpu.chem.molgraph import with_authored_fragment_bonds
+    frag = _ethane_like()  # 3 atoms, O disconnected
+    # generated molecule: same 3 atoms + 1 linker C placed to bridge to O
+    pos = np.vstack([frag.positions, [[6.7, 0, 0]]]).astype(np.float32)
+    types = np.concatenate([frag.atom_types, [0]])
+    gen = build_molecule(pos, types)
+    # hand the fragment block a bond geometry cannot see (authored long bond)
+    authored = frag.bonds.copy()
+    authored[1, 2] = authored[2, 1] = 1
+    frag_authored = MolGraph(frag.atom_types, frag.positions, authored)
+    grafted = with_authored_fragment_bonds(gen, frag_authored)
+    assert grafted.bonds[1, 2] == 1            # authored bond restored
+    np.testing.assert_array_equal(grafted.bonds[3], gen.bonds[3])  # linker row kept
+    with pytest.raises(ValueError):
+        with_authored_fragment_bonds(frag_authored, grafted)  # gen < frag
+
+
+@pytest.mark.parametrize('case,sdf', [
+    ('hsp90', 'hsp90/3hz1_modified_fragments_obabel.sdf'),
+    ('impdh', 'impdh/5ou2_fragments_input.sdf'),
+    ('jnk', 'jnk/3fi3_fragments.sdf'),
+])
+def test_published_case_study_fragments_score_valid(case, sdf):
+    """The reference's published case-study inputs (case_studies/*/README.md)
+    must survive the native scoring path: authored bonds are valid, and
+    coordinate re-perception with valence repair is valid for the cases whose
+    bonds are geometrically recoverable (jnk's 1.70 A N-C bond is not — that
+    is what with_authored_fragment_bonds is for)."""
+    path = os.path.join('/root/reference/case_studies', sdf)
+    if not os.path.exists(path):
+        pytest.skip('reference case-study inputs not present')
+    from difflinker_tpu.chem.io_rdkit import read_molecule
+    m = read_molecule(path)
+    assert metrics.is_valid(m), 'authored bonds must pass the valence check'
+    g = build_molecule(m.positions, m.atom_types)  # repair on by default
+    assert metrics.is_valid(g), 're-perceived + repaired must pass'
+    if case != 'jnk':
+        # two fragments -> exactly 2 components under re-perception
+        from difflinker_tpu.chem.bonds import connected_components
+        assert connected_components(g.bonds).max() == 1
