@@ -255,13 +255,12 @@ def synthetic_multifrag_dataset(n_samples: int, *, seed: int = 0,
     return LinkerDataset(samples)
 
 
-def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
-    """Append a synthetic 'pocket': atoms on a shell 4-6 A from the linker
-    centroid (outside bonding range of everything). Layout becomes
-    [fragments | pocket | linker] with the MOAD mask conventions."""
+def _linker_shell_positions(rng, sample: Dict, n_pocket: int):
+    """Atoms on a thin shell 4-6 A from the linker centroid (outside bonding
+    range of everything). Capacity is physically limited to ~40 atoms; use
+    pocket_style='residues' for realistic pocket sizes."""
     pos = sample['positions']
-    link = sample['linker_mask'].astype(bool)
-    center = pos[link].mean(0)
+    center = pos[sample['linker_mask'].astype(bool)].mean(0)
     shell = []
     for _ in range(n_pocket * 8):
         if len(shell) == n_pocket:
@@ -274,7 +273,85 @@ def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
             shell.append(cand)
     if len(shell) < n_pocket:
         return None
-    shell = np.asarray(shell, np.float32)
+    return np.asarray(shell, np.float32)
+
+
+def _residue_pocket_positions(rng, sample: Dict, n_pocket: int):
+    """Residue-like bonded clusters in contact range of the whole ligand —
+    the geometry the pocket CLIs actually produce from a real protein
+    (generate_with_protein.py 6A-contact residues: dense 4-9-atom clusters
+    of covalently spaced atoms surrounding fragments AND linker, 100-200
+    atoms total). Each cluster grows as a short random walk at bonded
+    spacing (1.40-1.55 A), seeded 4-7 A off a random ligand atom, clearing
+    the ligand by >=3.2 A and other clusters by >=2.2 A."""
+    ligand = sample['positions']
+    clusters: List[List[np.ndarray]] = []
+
+    def clear(cand, cluster):
+        if np.linalg.norm(ligand - cand, axis=1).min() < 3.2:
+            return False
+        for other in clusters:
+            if np.linalg.norm(np.asarray(other) - cand, axis=1).min() < 2.2:
+                return False
+        # a random walk may curl back on itself: keep non-bonded intra-
+        # cluster pairs apart too
+        return all(np.linalg.norm(cand - c) >= 1.2 for c in cluster)
+
+    total = 0
+    attempts = 0
+    while total < n_pocket and attempts < n_pocket * 30:
+        attempts += 1
+        a = ligand[int(rng.integers(len(ligand)))]
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        seed_pos = a + d * rng.uniform(4.0, 7.0)
+        if not clear(seed_pos, []):
+            continue
+        cluster = [seed_pos]
+        cur = seed_pos
+        for _ in range(int(rng.integers(3, 9))):
+            for _try in range(10):
+                d = rng.standard_normal(3)
+                d /= np.linalg.norm(d)
+                cand = cur + d * rng.uniform(1.40, 1.55)
+                if clear(cand, cluster[:-1]):
+                    cluster.append(cand)
+                    cur = cand
+                    break
+            else:
+                break
+        if len(cluster) >= 3:  # no lone atoms: residues are bonded groups
+            clusters.append(cluster)
+            total += len(cluster)
+    if total < n_pocket:
+        return None
+    # trim the overshoot from cluster tails (walk ends), never below 2 atoms
+    # per cluster, so every kept atom retains a covalent-range neighbor
+    excess = total - n_pocket
+    for cluster in reversed(clusters):
+        cut = min(excess, len(cluster) - 2)
+        if cut > 0:
+            del cluster[len(cluster) - cut:]
+            excess -= cut
+        if excess == 0:
+            break
+    if excess > 0:
+        return None
+    placed = [c for cluster in clusters for c in cluster]
+    return np.asarray(placed, np.float32)
+
+
+def _add_pocket_shell(rng, sample: Dict, n_pocket: int,
+                      style: str = 'linker-shell') -> Optional[Dict]:
+    """Append a synthetic 'pocket'. Layout becomes
+    [fragments | pocket | linker] with the MOAD mask conventions."""
+    pos = sample['positions']
+    link = sample['linker_mask'].astype(bool)
+    placer = {'linker-shell': _linker_shell_positions,
+              'residues': _residue_pocket_positions}[style]
+    shell = placer(rng, sample, n_pocket)
+    if shell is None:
+        return None
     n_frag = int(sample['fragment_mask'].sum())
     n_link = int(link.sum())
     n = n_frag + n_pocket + n_link
@@ -313,6 +390,7 @@ def _add_pocket_shell(rng, sample: Dict, n_pocket: int) -> Optional[Dict]:
 def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
                                frag_range=(4, 8), linker_range=(3, 8),
                                pocket_range=None,
+                               pocket_style: str = 'linker-shell',
                                coupled_linker_size=False,
                                n_types: Optional[int] = None) -> LinkerDataset:
     """coupled_linker_size: make the linker size a function of the fragments
@@ -363,7 +441,8 @@ def synthetic_molecule_dataset(n_samples: int, *, seed: int = 0,
             n_linker_fn=n_linker_fn,
             n_types=n_types)
         if s is not None and pocket_range is not None:
-            s = _add_pocket_shell(rng, s, int(rng.integers(*pocket_range)))
+            s = _add_pocket_shell(rng, s, int(rng.integers(*pocket_range)),
+                                  style=pocket_style)
         if s is not None:
             samples.append(s)
     if len(samples) < n_samples:
