@@ -46,6 +46,10 @@ def build_argparser(pocket_is_precut: bool = False):
     common.add_respacing_args(p)
     common.add_mesh_args(p)
     p.add_argument('--anchors', type=str, default=None)
+    p.add_argument('--pad-nodes', type=int, default=None,
+                   help='pad every sample to this many atoms so different '
+                        'complexes reuse one compiled chain (compiles '
+                        'dominate pocket CLI latency, CLAUDE.md)')
     p.add_argument('--out', type=str, default='output')
     p.add_argument('--seed', type=int, default=0)
     return p
@@ -94,7 +98,8 @@ def run(args, pocket_is_precut: bool):
             f'the params sidecar .config.json.')
     batch = collate([dict(sample) for _ in range(args.n_samples)])
 
-    sampler = LinkerSampler(cfg, params, mesh=common.build_mesh(args))
+    sampler = LinkerSampler(cfg, params, mesh=common.build_mesh(args),
+                            pad_nodes_to=args.pad_nodes)
     out = sampler.sample(batch, jax.random.PRNGKey(args.seed),
                          size_spec=resolve_size_spec(args, cfg),
                          recenter_output=True)

@@ -86,6 +86,9 @@ def main():
     p.add_argument('--steps', type=int, default=100,
                    help='respaced chain length (pocket quality flat to '
                         'T=100, BASELINE.md)')
+    p.add_argument('--pad-nodes', type=int, default=256,
+                   help='shared chain shape across all cases/sizes: one '
+                        'compile for the whole run')
     p.add_argument('--out', default='docs/case_studies.json')
     p.add_argument('--work', default='/tmp/case_studies')
     args = p.parse_args()
@@ -117,7 +120,8 @@ def main():
                 '--fragments', frag_path, '--protein', pdb_path,
                 '--params', args.params, '--linker-size', size_arg,
                 '--anchors', anchors, '--n-samples', str(args.n_samples),
-                '--steps', str(args.steps), '--out', out_dir,
+                '--steps', str(args.steps), '--pad-nodes',
+                str(args.pad_nodes), '--out', out_dir,
                 '--seed', '1'] + extra)
             assert rc == 0, f'{name} size={size} failed'
             scores = score_outputs(out_dir, fragments_sdf=frag_path)

@@ -245,3 +245,44 @@ def test_pocket_cli_vocab_mismatch_is_a_clear_error(tmp_path):
         gwp.main(['--fragments', str(frags), '--pocket', str(pocket),
                   '--params', npz, '--n-samples', '1',
                   '--out', str(tmp_path / 'out')])
+
+
+def test_generate_with_pocket_pad_nodes_end_to_end(tmp_path):
+    """--pad-nodes drives the CLI through one shared chain shape (the lever
+    that collapses per-complex compiles, CLAUDE.md): a tiny GEOM-vocab pocket
+    model generates real outputs with every template padded to the flag."""
+    import json
+    import jax
+    from difflinker_tpu.demo import recipe_config
+    from difflinker_tpu.diffusion.edm import make_edm
+    from difflinker_tpu.io.checkpoints import save_params_npz
+    import difflinker_tpu.cli.generate_with_pocket as gwp
+
+    meta = {'hidden': 16, 'layers': 1, 'timesteps': 4, 'pocket': True,
+            'in_node_nf': 9}
+    cfg = recipe_config(meta)
+    params = make_edm(cfg.model, cfg.diffusion).init_params(
+        jax.random.PRNGKey(0))
+    npz = str(tmp_path / 'pocket9.npz')
+    save_params_npz(params, npz)
+    with open(npz + '.config.json', 'w') as f:
+        json.dump(meta, f)
+
+    frags = tmp_path / 'frags.xyz'
+    frags.write_text('2\nfrags\nC 0.0 0.0 0.0\nO 4.5 0.0 0.0\n')
+    pocket = tmp_path / 'pocket.pdb'
+    pocket.write_text(
+        'ATOM      1   N  POC A   1       2.000   3.000   0.000'
+        '  1.00  0.00           N\nEND\n')
+
+    out = tmp_path / 'out'
+    rc = gwp.main(['--fragments', str(frags), '--pocket', str(pocket),
+                   '--params', npz, '--n-samples', '2', '--linker-size', '3',
+                   '--anchors', '1,2', '--pad-nodes', '24',
+                   '--out', str(out)])
+    assert rc == 0
+    xyz = sorted(p for p in out.iterdir() if p.suffix == '.xyz')
+    assert len(xyz) == 2
+    # outputs carry fragments+linker only (pocket stripped), unpadded
+    text = xyz[0].read_text().strip().split('\n')
+    assert int(text[0]) == 2 + 3  # frag atoms + linker size
