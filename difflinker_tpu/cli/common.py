@@ -94,6 +94,11 @@ def add_respacing_args(p):
                         "gamma off the trained grid (exact, the reference's "
                         "n_steps semantics); 'rebuild' regenerates the "
                         'schedule at T=steps (legacy)')
+    p.add_argument('--sampler', type=str, default='ancestral',
+                   choices=['ancestral', 'ddim'],
+                   help="reverse integrator: 'ancestral' is the reference's "
+                        "stochastic sampler; 'ddim' is the deterministic "
+                        'eta=0 update (holds quality at far fewer --steps)')
     return p
 
 
@@ -161,6 +166,10 @@ def apply_respacing(cfg, args):
         cfg = dataclasses.replace(
             cfg, diffusion=dataclasses.replace(
                 cfg.diffusion, noise_scale=args.noise_scale))
+    if getattr(args, 'sampler', 'ancestral') != 'ancestral':
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, sampler=args.sampler))
     return cfg
 
 

@@ -165,6 +165,16 @@ class DiffusionConfig:
     # Prior draws (init_z) and RePaint re-noising stay at scale 1 — only the
     # *generative* noise is cooled. Inference-only knob.
     noise_scale: float = 1.0
+    # Reverse-transition integrator. 'ancestral' is the reference's exact
+    # stochastic sampler (src/edm.py:178-208). 'ddim' replaces every p-side
+    # transition with the deterministic DDIM (eta=0) update
+    # z_s = alpha_s*x_hat + sigma_s*eps_hat (Song et al. 2021) and decodes
+    # z_0 to the posterior mean — the whole chain becomes a deterministic
+    # function of the initial noise, which holds sample quality at far fewer
+    # steps than ancestral respacing and is the integrator step-distillation
+    # teachers require. Inference-only; q-side conditioning draws
+    # (inpainting fragments, RePaint re-noising) stay stochastic.
+    sampler: str = 'ancestral'             # 'ancestral' | 'ddim'
     # Final-decode mode for p(x,h|z0): 'draw' adds the sigma_0-scaled noise
     # (reference src/edm.py:210-235 semantics, the default); 'mean' takes the
     # posterior mean mu_x instead. Inference-only diagnostic knob — with a

@@ -308,9 +308,15 @@ class EDM:
                 params['dynamics'], t, z_t, node_mask, linker_mask, edge_mask,
                 context, cfg=self.mcfg)
             eps_hat = eps_hat * linker_mask
-            mu = z_t / alpha_tgs - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat
-            eps = self.sample_noise(k, z_t.shape[:2], linker_mask)
-            z_s = mu + sigma * eps
+            if self.cfg.sampler == 'ddim':
+                # deterministic eta=0 update: alpha_s*x_hat + sigma_s*eps_hat
+                # == z_t/alpha_tgs + (sigma_s - sigma_t/alpha_tgs)*eps_hat
+                z_s = z_t / alpha_tgs + (sigma_s - sigma_t / alpha_tgs) * eps_hat
+            else:
+                mu = (z_t / alpha_tgs
+                      - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat)
+                eps = self.sample_noise(k, z_t.shape[:2], linker_mask)
+                z_s = mu + sigma * eps
             return z_t * fragment_mask + z_s * linker_mask, nan_flag
 
         r = max(int(self.cfg.resample_steps), 1)
@@ -346,7 +352,8 @@ class EDM:
         sigma_0 = schedules.sigma_from_gamma(gamma_0)
         alpha_0 = schedules.alpha_from_gamma(gamma_0)
         mu_x = (z_0 - sigma_0 * eps_hat) / alpha_0
-        if self.cfg.final_decode == 'mean':
+        if self.cfg.final_decode == 'mean' or self.cfg.sampler == 'ddim':
+            # ddim decodes x_hat directly: the deterministic chain's endpoint
             xh = mu_x
         else:
             eps = self.sample_noise(key, z_0.shape[:2], linker_mask)
@@ -506,10 +513,14 @@ class InpaintingEDM(EDM):
             eps_hat, nan_flag = dynamics_apply(
                 params['dynamics'], t, z_t, node_mask, None, edge_mask,
                 context, cfg=self.mcfg)
-            mu_p = (z_t / alpha_tgs
-                    - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat)
-            z_p = mu_p + sigma_p * self.sample_noise(kp, z_t.shape[:2],
-                                                     node_mask)
+            if self.cfg.sampler == 'ddim':
+                z_p = (z_t / alpha_tgs
+                       + (sigma_s - sigma_t / alpha_tgs) * eps_hat)
+            else:
+                mu_p = (z_t / alpha_tgs
+                        - (sigma2_tgs / alpha_tgs / sigma_t) * eps_hat)
+                z_p = mu_p + sigma_p * self.sample_noise(kp, z_t.shape[:2],
+                                                         node_mask)
             # q(z_s | z_t, x) for the fragment part (src/edm.py:650-670)
             mu_q = (alpha_tgs * (sigma_s ** 2) / (sigma_t ** 2) * z_t
                     + alpha_s * sigma2_tgs / (sigma_t ** 2) * xh_frag)
@@ -552,11 +563,11 @@ class InpaintingEDM(EDM):
             params['dynamics'], zeros, z_0, node_mask, None, edge_mask,
             context, cfg=self.mcfg)
         mu_x = (z_0 - sigma_0 * eps_hat) / alpha_0
-        if self.cfg.final_decode == 'mean':
+        if self.cfg.final_decode == 'mean' or self.cfg.sampler == 'ddim':
             # key-independent decode for BOTH parts: the q-side fragment
             # draw would otherwise keep a sigma_0-scaled noise term and
             # defeat the knob's purpose (isolating the schedule's noise
-            # floor from the network)
+            # floor from the network / keeping the ddim chain deterministic)
             xh_p = mu_x
             xh_q = z_0 / alpha_0
         else:

@@ -18,6 +18,7 @@ trained by scripts/demo_learning.py:
 Results are recorded in BASELINE.md.
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -40,6 +41,11 @@ def main():
                         'both: measure the two side by side')
     p.add_argument('--val-size', type=int, default=256)
     p.add_argument('--n-samples', type=int, default=1)
+    p.add_argument('--sampler', type=str, default='ancestral',
+                   choices=['ancestral', 'ddim', 'both'],
+                   help="reverse integrator(s) to measure: 'ddim' (eta=0, "
+                        'deterministic) typically holds quality at far '
+                        'fewer steps than the ancestral sampler')
     p.add_argument('--out', type=str, default=None)
     args = p.parse_args()
 
@@ -62,10 +68,16 @@ def main():
 
     modes = (['subsequence', 'rebuild'] if args.mode == 'both'
              else [args.mode])
+    samplers = (['ancestral', 'ddim'] if args.sampler == 'both'
+                else [args.sampler])
     rows = []
     for T in [int(s) for s in args.steps.split(',')]:
       for mode in (modes if T != mc['timesteps'] else modes[:1]):
+       for integrator in samplers:
         cfg = respace_config(make_cfg(mc['timesteps']), T, mode)
+        if integrator != 'ancestral':
+            cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, sampler=integrator))
         sampler = LinkerSampler(cfg, params, pad_batch_to=64)
         # warm-up to exclude compile time from the throughput number
         batches = list(val_ds.iter_batches(64))
@@ -75,7 +87,7 @@ def main():
                                n_samples=args.n_samples)
         dt = time.time() - t0
         n_linkers = args.val_size * args.n_samples
-        row = {'T': T, 'mode': mode,
+        row = {'T': T, 'mode': mode, 'sampler': integrator,
                'validity': round(m['validity'], 4),
                'validity_and_connectivity':
                    round(m['validity_and_connectivity'], 4),

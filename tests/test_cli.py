@@ -279,7 +279,7 @@ def test_generate_with_pocket_pad_nodes_end_to_end(tmp_path):
     rc = gwp.main(['--fragments', str(frags), '--pocket', str(pocket),
                    '--params', npz, '--n-samples', '2', '--linker-size', '3',
                    '--anchors', '1,2', '--pad-nodes', '24',
-                   '--out', str(out)])
+                   '--sampler', 'ddim', '--out', str(out)])
     assert rc == 0
     xyz = sorted(p for p in out.iterdir() if p.suffix == '.xyz')
     assert len(xyz) == 2

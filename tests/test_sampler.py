@@ -574,3 +574,116 @@ def test_inpainting_noise_scale_cools_only_p_side():
     # p-side (linker) is cooled to the posterior mean: the feature block
     # sees no CoM coupling, so it is bitwise key-independent at scale 0
     np.testing.assert_array_equal(a[link][:, n_dims:], b[link][:, n_dims:])
+
+
+# ---------------------------------------------------------------------------
+# DDIM (eta=0) integrator
+# ---------------------------------------------------------------------------
+
+def _ddim_cfg(cfg):
+    import dataclasses
+    return dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, sampler='ddim'))
+
+
+def test_ddim_step_is_key_independent(setup):
+    """The deterministic update ignores the transition key entirely (only
+    the chain's initial noise draw remains stochastic)."""
+    import jax.numpy as jnp
+    cfg, params, _, batch = setup
+    edm = make_edm(cfg.model, _ddim_cfg(cfg).diffusion)
+    x = jnp.asarray(batch['positions'])
+    h = jnp.asarray(batch['one_hot'])
+    xn, hn = edm.normalize(x, h)
+    z = jnp.concatenate([xn, hn], -1)
+    ctx = jnp.concatenate([jnp.asarray(batch['anchors']),
+                           jnp.asarray(batch['fragment_mask'])], -1)
+    args = (jnp.asarray(5), z, jnp.asarray(batch['atom_mask']),
+            jnp.asarray(batch['fragment_mask']),
+            jnp.asarray(batch['linker_mask']),
+            jnp.asarray(batch['edge_mask']), ctx)
+    za, _ = edm.sample_step(params, jax.random.PRNGKey(0), *args)
+    zb, _ = edm.sample_step(params, jax.random.PRNGKey(999), *args)
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
+
+
+def test_ddim_step_matches_textbook_form(setup):
+    """Implemented update z_t/a_tgs + (s_s - s_t/a_tgs)*eps == the textbook
+    alpha_s*x_hat + sigma_s*eps_hat with x_hat = (z_t - sigma_t*eps)/alpha_t
+    (Song et al. 2021, eta=0)."""
+    import jax.numpy as jnp
+    from difflinker_tpu.diffusion import schedules
+    from difflinker_tpu.models.dynamics import dynamics_apply
+    cfg, params, _, batch = setup
+    edm = make_edm(cfg.model, _ddim_cfg(cfg).diffusion)
+    x = jnp.asarray(batch['positions'])
+    h = jnp.asarray(batch['one_hot'])
+    xn, hn = edm.normalize(x, h)
+    z_t = jnp.concatenate([xn, hn], -1)
+    node_mask = jnp.asarray(batch['atom_mask'])
+    frag = jnp.asarray(batch['fragment_mask'])
+    link = jnp.asarray(batch['linker_mask'])
+    em = jnp.asarray(batch['edge_mask'])
+    ctx = jnp.concatenate([jnp.asarray(batch['anchors']), frag], -1)
+    s_int = 3
+    got, _ = edm.sample_step(params, jax.random.PRNGKey(0), jnp.asarray(s_int),
+                             z_t, node_mask, frag, link, em, ctx)
+
+    bs = z_t.shape[0]
+    s = jnp.full((bs, 1), s_int / edm.T, z_t.dtype)
+    t = s + 1.0 / edm.T
+    g_s = edm.gamma(params, s)[:, :, None]
+    g_t = edm.gamma(params, t)[:, :, None]
+    alpha_s = schedules.alpha_from_gamma(g_s)
+    alpha_t = schedules.alpha_from_gamma(g_t)
+    sigma_s = schedules.sigma_from_gamma(g_s)
+    sigma_t = schedules.sigma_from_gamma(g_t)
+    eps_hat, _ = dynamics_apply(params['dynamics'], t, z_t, node_mask, link,
+                                em, ctx, cfg=edm.mcfg)
+    eps_hat = eps_hat * link
+    x_hat = (z_t - sigma_t * eps_hat) / alpha_t
+    want = z_t * frag + (alpha_s * x_hat + sigma_s * eps_hat) * link
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ddim_full_chain_via_sampler(setup):
+    """--sampler ddim end to end: deterministic given the key, fragments
+    frozen, valid one-hot decode; differs from the ancestral chain."""
+    cfg, params, _, batch = setup
+    dcfg = _ddim_cfg(cfg)
+    sampler = LinkerSampler(dcfg, params)
+    a = sampler.sample(batch, jax.random.PRNGKey(4), size_spec=5)
+    b = sampler.sample(batch, jax.random.PRNGKey(4), size_spec=5)
+    assert not a['nan_flag'].any()
+    np.testing.assert_array_equal(a['positions'], b['positions'])
+    fm = a['fragment_mask'][..., 0].astype(bool)
+    orig = batch['one_hot'][batch['fragment_mask'][..., 0].astype(bool)]
+    np.testing.assert_array_equal(a['one_hot'][fm], orig)
+    anc = LinkerSampler(cfg, params).sample(batch, jax.random.PRNGKey(4),
+                                            size_spec=5)
+    lm = a['linker_mask'][..., 0].astype(bool)
+    assert np.abs(a['positions'][lm] - anc['positions'][lm]).max() > 1e-4
+
+
+def test_ddim_inpainting_runs(setup):
+    """The inpainting variant's p-side goes deterministic too (q-side
+    fragment conditioning stays stochastic by design)."""
+    import dataclasses
+    import jax.numpy as jnp
+    cfg, _, _, batch = setup
+    icfg = dataclasses.replace(cfg.diffusion, inpainting=True, sampler='ddim')
+    edm = make_edm(cfg.model, icfg)
+    params = edm.init_params(jax.random.PRNGKey(0))
+    args = (params, jax.random.PRNGKey(5),
+            jnp.asarray(batch['positions']), jnp.asarray(batch['one_hot']),
+            jnp.asarray(batch['atom_mask']),
+            jnp.asarray(batch['fragment_mask']),
+            jnp.asarray(batch['linker_mask']), jnp.asarray(batch['edge_mask']),
+            jnp.concatenate([jnp.asarray(batch['anchors']),
+                             jnp.asarray(batch['fragment_mask'])], -1))
+    xs1, hs1, nan1 = edm.sample_chain(*args)
+    xs2, hs2, _ = edm.sample_chain(*args)
+    assert not np.asarray(nan1).any()
+    np.testing.assert_array_equal(np.asarray(xs1), np.asarray(xs2))
+    assert np.isfinite(np.asarray(xs1)).all()
