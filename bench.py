@@ -212,6 +212,9 @@ def _regressions(result, prev, threshold=0.10):
         ('pocket_n512_sparse',
          result.get('pocket_n512_sparse', {}).get('value'),
          prev.get('pocket_n512_sparse', {}).get('value')),
+        ('pocket_n512_dense',
+         result.get('pocket_n512_dense', {}).get('value'),
+         prev.get('pocket_n512_dense', {}).get('value')),
         ('train.zinc', result.get('train', {}).get('zinc', {}).get('value'),
          prev.get('train', {}).get('zinc', {}).get('value')),
         ('train.pocket',
@@ -282,6 +285,17 @@ def main():
     s_lps, s_dt = _chain_throughput(sedm, sparams, s_inputs, Bs, runs=2)
     s_fl = flops_lib.chain_flops(Bs, Ns, T, s_cfg)
 
+    # -- dense N=512 counterpart (VERDICT r4 item 5): the sparse path's
+    # claimed advantage at this shape was a one-off round-2 measurement;
+    # this standing entry keeps the COMPARISON continuously verified, not
+    # just the sparse path's absolute number.
+    d_cfg = ModelConfig(in_node_nf=9, context_node_nf=3, hidden_nf=128,
+                        n_layers=6, inv_sublayers=2, norm_constant=1e-6,
+                        graph_type=GraphType.A4, dtype='bfloat16')
+    dedm = make_edm(d_cfg, DiffusionConfig(timesteps=T))
+    d_lps, d_dt = _chain_throughput(dedm, sparams, s_inputs, Bs, runs=2)
+    d_fl = flops_lib.chain_flops(Bs, Ns, T, d_cfg)
+
     # -- respaced line: same ZINC model sampled at T=50 ----------------------
     # Ancestral subsequence respacing (--steps). Quality is measured flat
     # down to T=50 on a trained model (BASELINE.md "Respaced sampling",
@@ -332,6 +346,17 @@ def main():
                     'degree — ARCHITECTURE.md §5 item 3)',
             'tflops': round(s_fl / s_dt / 1e12, 2),
             'mfu': round(s_fl / s_dt / peak16, 4) if peak16 else None,
+        },
+        'pocket_n512_dense': {
+            'metric': f'large-pocket 4A sampling, dense layout (T={T}, '
+                      f'B={Bs}, N={Ns}, 6x128 EGNN bf16) — the sparse '
+                      'line\'s comparison point',
+            'value': round(d_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'impl': 'xla-dense',
+            'tflops': round(d_fl / d_dt / 1e12, 2),
+            'mfu': round(d_fl / d_dt / peak16, 4) if peak16 else None,
+            'sparse_over_dense': round(s_lps / d_lps, 2),
         },
         'respaced_T50': {
             'metric': f'same model, --steps 50 (quality flat to T=50, '

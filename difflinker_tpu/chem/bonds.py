@@ -81,6 +81,8 @@ def repair_valences(bonds: np.ndarray, positions: np.ndarray,
             return bonds
         progressed = False
         for i in over:
+            if bonds[i].sum() <= maxv[i]:
+                continue  # an earlier downgrade this sweep already fixed i
             multi = np.where(bonds[i] >= 2)[0]
             if len(multi) == 0:
                 continue  # crowded all-single geometry: genuinely unrepairable

@@ -41,6 +41,13 @@ class EDM:
     """Fragment-conditioned linker diffusion (reference EDM, src/edm.py:14-463)."""
 
     def __init__(self, model_cfg: ModelConfig, diff_cfg: DiffusionConfig):
+        if diff_cfg.sampler == 'ddim' and diff_cfg.noise_scale != 1.0:
+            import warnings
+            warnings.warn(
+                'sampler=ddim is deterministic (eta=0): noise_scale='
+                f'{diff_cfg.noise_scale} has no effect on the reverse '
+                'transitions (only the RePaint re-noising and any final '
+                'stochastic decode would see it)', stacklevel=2)
         self.mcfg = model_cfg
         self.cfg = diff_cfg
         self.T = diff_cfg.timesteps

@@ -189,6 +189,11 @@ class SamplingService:
         self.stats = {'requests': 0, 'rows': 0, 'batches': 0,
                       'padded_rows': 0, 'chain_seconds': 0.0}
         self._closed = False
+        # serializes the closed-check-plus-enqueue against close(): without
+        # it a submit that passes the check just before close() flips the
+        # flag can enqueue after the final _fail_drained(), leaving its
+        # Future unresolved forever (the worker has already exited)
+        self._close_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name='sampling-service')
         self._worker.start()
@@ -231,7 +236,10 @@ class SamplingService:
         bucket = next((b for b in self.node_buckets if needed <= b), 0)
         req = _Request(samples=samples, sizes=sizes, bucket=bucket,
                        recenter=recenter_output)
-        self._queue.put(req)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError('service is closed')
+            self._queue.put(req)
         return req.future
 
     def generate(self, sample: Dict, **kw) -> Dict[str, np.ndarray]:
@@ -246,14 +254,18 @@ class SamplingService:
             # returned Future hangs forever (close() has already drained)
             raise RuntimeError('service is closed')
         done = Future()
-        self._queue.put(('params', params, done))
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError('service is closed')
+            self._queue.put(('params', params, done))
         return done
 
     def close(self):
-        self._closed = True
-        self._queue.put(_STOP)
+        with self._close_lock:
+            self._closed = True
+            self._queue.put(_STOP)
         self._worker.join()
-        self._fail_drained()  # racing submits that slipped in after _STOP
+        self._fail_drained()  # anything that raced ahead of _STOP is served
 
     def __enter__(self):
         return self

@@ -74,12 +74,16 @@ class Distiller:
                 f'on shared grid points')
         self.mcfg = model_cfg
         self.student_T = student_T
+        # resample_steps is forced to 1: with RePaint repeats the teacher's
+        # sample_step injects noise BETWEEN repeats even under sampler='ddim',
+        # which would silently make the deterministic two-step target
+        # stochastic and bias the regression.
         self.student = EDM(model_cfg, dataclasses.replace(
             diff_cfg, timesteps=student_T, schedule_timesteps=grid,
-            sampler='ddim'))
+            sampler='ddim', resample_steps=1))
         self.teacher = EDM(model_cfg, dataclasses.replace(
             diff_cfg, timesteps=2 * student_T, schedule_timesteps=grid,
-            sampler='ddim'))
+            sampler='ddim', resample_steps=1))
 
     @staticmethod
     def init_student(teacher_params) -> Dict:

@@ -180,6 +180,25 @@ def test_repair_valences_downgrades_least_confident_double():
     assert (fixed == fixed.T).all()
 
 
+def test_repair_valences_no_over_repair_when_atoms_share_the_fix():
+    """Two over-valent atoms sharing a multiple bond: downgrading it for the
+    first atom fixes the second too — the second must NOT downgrade another
+    (legitimate) multiple bond in the same sweep (ADVICE r4)."""
+    from difflinker_tpu.chem.bonds import repair_valences
+    # X(N)=Y(N) double + X-C,X-C singles -> X valence 4 (excess 1)
+    # Y=Z(C) double                      -> Y valence 4 (excess 1)
+    bonds = np.zeros((5, 5), np.int8)
+    for i, j, o in [(0, 1, 2), (0, 2, 1), (0, 3, 1), (1, 4, 2)]:
+        bonds[i, j] = bonds[j, i] = o
+    types = np.asarray([2, 2, 0, 0, 0])  # N N C C C
+    pos = np.asarray([[0, 0, 0], [1.25, 0, 0], [-0.7, 1.2, 0],
+                      [-0.7, -1.2, 0], [2.5, 0.6, 0]], np.float64)
+    fixed = repair_valences(bonds, pos, types)
+    assert fixed[0, 1] == 1          # the shared double absorbs the repair
+    assert fixed[1, 4] == 2          # Y=Z survives (old code lost it)
+    assert (fixed.sum(1) <= np.asarray([3, 3, 4, 4, 4])).all()
+
+
 def test_repair_valences_noop_when_valences_fit():
     from difflinker_tpu.chem.bonds import repair_valences
     m = _ethane_like()

@@ -129,3 +129,15 @@ def test_student_chain_runs_at_half_steps(setup):
     fm = np.asarray(batch['fragment_mask'])[..., 0].astype(bool)
     np.testing.assert_allclose(np.asarray(xs)[fm],
                                np.asarray(batch['positions'])[fm], atol=1e-5)
+
+
+def test_distiller_forces_deterministic_teacher(setup):
+    """RePaint repeats would inject noise between the teacher's two DDIM
+    transitions, silently making the deterministic target stochastic — the
+    Distiller must force resample_steps=1 on both EDMs (ADVICE r4)."""
+    cfg, _, _ = setup
+    noisy = dataclasses.replace(cfg.diffusion, resample_steps=3)
+    d = Distiller(cfg.model, noisy, student_T=8)
+    assert d.teacher.cfg.resample_steps == 1
+    assert d.student.cfg.resample_steps == 1
+    assert d.teacher.cfg.sampler == 'ddim'

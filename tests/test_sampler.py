@@ -687,3 +687,14 @@ def test_ddim_inpainting_runs(setup):
     assert not np.asarray(nan1).any()
     np.testing.assert_array_equal(np.asarray(xs1), np.asarray(xs2))
     assert np.isfinite(np.asarray(xs1)).all()
+
+
+def test_ddim_with_noise_scale_warns(setup):
+    """--sampler ddim ignores noise_scale (eta=0); combining them must warn
+    instead of silently doing nothing (ADVICE r4)."""
+    import dataclasses
+    cfg, _, _, _ = setup
+    dcfg = dataclasses.replace(cfg.diffusion, sampler='ddim',
+                               noise_scale=0.5)
+    with pytest.warns(UserWarning, match='noise_scale'):
+        make_edm(cfg.model, dcfg)
