@@ -174,31 +174,8 @@ def apply_respacing(cfg, args):
 
 
 def respace_config(cfg, steps, mode: str = 'subsequence'):
-    """Apply a --steps override to an ExperimentConfig.
-
-    mode='subsequence' (default): sample `steps` loop iterations whose gamma
-    values are read off the TRAINED schedule's grid — bitwise the trained
-    schedule at steps == trained T, and the reference's own n_steps-override
-    semantics below it (sample.py:94-95 sets model.edm.T while
-    PredefinedNoiseSchedule keeps its original grid, src/noise.py:126-128).
-    Required for imported reference checkpoints, where schedule parity is the
-    whole methodology.
-
-    mode='rebuild': legacy behavior — rebuild the schedule at T'=steps
-    (gamma_{T'} != the trained gamma's subsequence because
-    clip_noise_schedule cumprods per-step ratios). Kept for comparison
-    sweeps (scripts/bench_respacing.py)."""
-    import dataclasses
-    if not steps:
-        return cfg
-    d = cfg.diffusion
-    if mode == 'rebuild':
-        return dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(d, timesteps=steps,
-                                               schedule_timesteps=None))
-    if mode != 'subsequence':
-        raise ValueError(f'unknown respace mode: {mode!r}')
-    trained_T = d.schedule_timesteps or d.timesteps
-    return dataclasses.replace(
-        cfg, diffusion=dataclasses.replace(d, timesteps=steps,
-                                           schedule_timesteps=trained_T))
+    """Apply a --steps override to an ExperimentConfig (canonical
+    implementation: difflinker_tpu.config.respace_config — kept here as the
+    CLI-facing alias)."""
+    from difflinker_tpu.config import respace_config as _impl
+    return _impl(cfg, steps, mode)

@@ -12,6 +12,10 @@ Protocol — one JSON object per stdin line:
      "pocket": "pocket.pdb",      # optional pre-cut pocket PDB, or
      "protein": "prot.pdb",       # optional full protein PDB (6Å extraction)
      "backbone": false,            # keep only N/CA/C/O pocket atoms
+     "steps": 50,                  # optional per-request chain length
+                                   # (exact-subsequence respacing — the fast
+                                   # lane; first use compiles, then warm)
+     "sampler": "ddim",           # optional per-request integrator override
      "out": "output"}              # output dir (default --out)
 
 Pocket-conditioned serving (a pocket model + "pocket"/"protein" requests)
@@ -165,9 +169,11 @@ def main(argv=None):
                                           anchors=anchors)
             spec = (parse_size_spec(str(req['linker_size']))
                     if 'linker_size' in req else default_spec)
-            fut = service.submit(sample,
-                                 n_samples=int(req.get('n_samples', 5)),
-                                 size_spec=spec)
+            fut = service.submit(
+                sample, n_samples=int(req.get('n_samples', 5)),
+                size_spec=spec,
+                steps=(int(req['steps']) if req.get('steps') else None),
+                sampler=req.get('sampler'))
             # r<N> prefix keeps outputs of requests sharing a fragment
             # basename (and out dir) from overwriting each other
             meta = {'name': sample['name'],
@@ -183,10 +189,13 @@ def main(argv=None):
     wt.join()
     service.close()
     s = service.stats
+    lat = service.latency_percentiles()
     # stdout carries the JSON result protocol — the summary goes to stderr
     print(f'served {n_requests} requests, {s["rows"]} rows in '
           f'{s["batches"]} chain calls ({s["padded_rows"]} padded rows, '
-          f'{s["chain_seconds"]:.1f}s on device)', file=sys.stderr)
+          f'{s["chain_seconds"]:.1f}s on device; latency '
+          f'p50={lat.get("p50_s", "-")}s p95={lat.get("p95_s", "-")}s)',
+          file=sys.stderr)
     return 0
 
 

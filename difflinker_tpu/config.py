@@ -293,6 +293,37 @@ _REFERENCE_KEY_MAP = {
 }
 
 
+def respace_config(cfg: 'ExperimentConfig', steps: Optional[int],
+                   mode: str = 'subsequence') -> 'ExperimentConfig':
+    """Apply a steps override to an ExperimentConfig.
+
+    mode='subsequence' (default): sample `steps` loop iterations whose gamma
+    values are read off the TRAINED schedule's grid — bitwise the trained
+    schedule at steps == trained T, and the reference's own n_steps-override
+    semantics below it (sample.py:94-95 sets model.edm.T while
+    PredefinedNoiseSchedule keeps its original grid, src/noise.py:126-128).
+    Required for imported reference checkpoints, where schedule parity is the
+    whole methodology.
+
+    mode='rebuild': legacy behavior — rebuild the schedule at T'=steps
+    (gamma_{T'} != the trained gamma's subsequence because
+    clip_noise_schedule cumprods per-step ratios). Kept for comparison
+    sweeps (scripts/bench_respacing.py)."""
+    if not steps:
+        return cfg
+    d = cfg.diffusion
+    if mode == 'rebuild':
+        return dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(d, timesteps=steps,
+                                               schedule_timesteps=None))
+    if mode != 'subsequence':
+        raise ValueError(f'unknown respace mode: {mode!r}')
+    trained_T = d.schedule_timesteps or d.timesteps
+    return dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(d, timesteps=steps,
+                                           schedule_timesteps=trained_T))
+
+
 def _family_from_prefix(prefix: str) -> Tuple[DatasetFamily, PocketMode]:
     """Backwards-compatible translation of the reference's prefix sniffing
     (src/lightning.py:73-81, src/datasets.py:110-115). Our own configs set the

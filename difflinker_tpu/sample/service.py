@@ -140,6 +140,8 @@ class _Request:
     sizes: np.ndarray            # (n_samples,) resolved linker sizes
     bucket: int                  # node bucket this request routes to
     recenter: bool
+    variant: tuple = (None, None)  # (steps, sampler) chain override
+    t_submit: float = 0.0        # monotonic submit time (latency stats)
     future: Future = field(default_factory=Future)
 
 
@@ -175,19 +177,31 @@ class SamplingService:
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_s)
         self.node_buckets = tuple(sorted(int(b) for b in node_buckets))
-        self._samplers = {
-            b: LinkerSampler(cfg, params, mesh=mesh, max_retries=max_retries,
-                             pad_batch_to=self.batch_size, pad_nodes_to=b)
+        self._mesh = mesh
+        self._max_retries = max_retries
+        self._params = params
+        # samplers keyed (bucket, variant); bucket 0 = overflow (natural
+        # per-batch shapes), variant (None, None) = the service defaults.
+        # Default-variant samplers are built eagerly; per-request
+        # steps/sampler variants compile lazily on their first request and
+        # stay warm after (each distinct chain length IS a distinct XLA
+        # program — that cost is physics, paid once per variant+bucket).
+        _default = (None, None)
+        self._samplers: Dict[tuple, LinkerSampler] = {
+            (b, _default): LinkerSampler(
+                cfg, params, mesh=mesh, max_retries=max_retries,
+                pad_batch_to=self.batch_size, pad_nodes_to=b)
             for b in self.node_buckets}
-        self._overflow = LinkerSampler(cfg, params, mesh=mesh,
-                                       max_retries=max_retries,
-                                       pad_batch_to=self.batch_size)
+        self._samplers[(0, _default)] = LinkerSampler(
+            cfg, params, mesh=mesh, max_retries=max_retries,
+            pad_batch_to=self.batch_size)
         self._queue: queue.Queue = queue.Queue()
         self._key = jax.random.PRNGKey(seed)
         self._submit_counter = itertools.count()
         self._batch_counter = itertools.count()
         self.stats = {'requests': 0, 'rows': 0, 'batches': 0,
                       'padded_rows': 0, 'chain_seconds': 0.0}
+        self.latencies_s: List[float] = []  # submit -> result, per request
         self._closed = False
         # serializes the closed-check-plus-enqueue against close(): without
         # it a submit that passes the check just before close() flips the
@@ -202,13 +216,33 @@ class SamplingService:
 
     def submit(self, sample: Dict, *, n_samples: int = 1,
                size_spec: SizeSpec = 'prior',
-               recenter_output: bool = True) -> Future:
+               recenter_output: bool = True,
+               steps: Optional[int] = None,
+               sampler: Optional[str] = None) -> Future:
         """Queue one fragment set for linker generation; returns a Future
         resolving to the request's slice of the sampler output dict
         (positions/one_hot/node_mask/linker_mask/fragment_mask/nan_flag,
-        leading dim n_samples)."""
+        leading dim n_samples).
+
+        `steps` / `sampler` override the chain per request (the fast lane:
+        e.g. steps=50 respaced, or sampler='ddim' — exact-subsequence
+        semantics on the service model's trained grid, config.respace_config).
+        Requests sharing a (steps, sampler) variant co-batch together; a
+        variant's first request pays its chain compile, then it's warm."""
         if self._closed or not self._worker.is_alive():
             raise RuntimeError('service is closed')
+        if steps is not None and int(steps) <= 0:
+            raise ValueError(f'steps must be positive, got {steps}')
+        if sampler is not None and sampler not in ('ancestral', 'ddim'):
+            raise ValueError(f"sampler must be 'ancestral' or 'ddim', "
+                             f'got {sampler!r}')
+        # normalize no-op overrides onto the default variant so they reuse
+        # the eagerly compiled programs instead of duplicating them
+        if sampler == self.cfg.diffusion.sampler:
+            sampler = None
+        if steps is not None and int(steps) == self.cfg.diffusion.timesteps:
+            steps = None  # respacing at T'=T is exact (bitwise the schedule)
+        variant = (int(steps) if steps is not None else None, sampler)
         if int(n_samples) > self.batch_size:
             raise ValueError(
                 f'n_samples={n_samples} exceeds batch_size={self.batch_size} '
@@ -235,7 +269,8 @@ class SamplingService:
             needed = n_frag + int(sizes.max())
         bucket = next((b for b in self.node_buckets if needed <= b), 0)
         req = _Request(samples=samples, sizes=sizes, bucket=bucket,
-                       recenter=recenter_output)
+                       recenter=recenter_output, variant=variant,
+                       t_submit=time.monotonic())
         with self._close_lock:
             if self._closed:
                 raise RuntimeError('service is closed')
@@ -335,22 +370,57 @@ class SamplingService:
 
     def _apply_params(self, params, done: Future):
         try:
+            self._params = params  # lazily built variants pick these up
             for s in self._samplers.values():
                 s.update_params(params)
-            self._overflow.update_params(params)
             done.set_result(True)
         except Exception as e:  # pragma: no cover - defensive
             done.set_exception(e)
 
+    def latency_percentiles(self) -> Dict[str, float]:
+        """p50/p95/p99/mean request latency (submit -> result, seconds)."""
+        lat = np.asarray(self.latencies_s, np.float64)
+        if lat.size == 0:
+            return {'count': 0}
+        return {'count': int(lat.size),
+                'p50_s': round(float(np.percentile(lat, 50)), 4),
+                'p95_s': round(float(np.percentile(lat, 95)), 4),
+                'p99_s': round(float(np.percentile(lat, 99)), 4),
+                'mean_s': round(float(lat.mean()), 4)}
+
+    def _variant_config(self, variant: tuple) -> ExperimentConfig:
+        import dataclasses
+        from difflinker_tpu.config import respace_config
+        steps, sampler = variant
+        cfg = respace_config(self.cfg, steps)  # exact-subsequence semantics
+        if sampler is not None:
+            cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, sampler=sampler))
+        return cfg
+
+    def _sampler_for(self, bucket: int, variant: tuple) -> LinkerSampler:
+        key = (bucket, variant)
+        s = self._samplers.get(key)
+        if s is None:  # first request of this variant: build (compiles lazily)
+            s = LinkerSampler(self._variant_config(variant), self._params,
+                              mesh=self._mesh, max_retries=self._max_retries,
+                              pad_batch_to=self.batch_size,
+                              pad_nodes_to=bucket or None)
+            self._samplers[key] = s
+        return s
+
     def _flush(self, wave: List[_Request]):
         groups: Dict[tuple, List[_Request]] = {}
         for req in wave:
-            groups.setdefault((req.bucket, req.recenter), []).append(req)
-        for (bucket, _), reqs in groups.items():
-            self._run_bucket(bucket, reqs)
+            groups.setdefault((req.bucket, req.recenter, req.variant),
+                              []).append(req)
+        for (bucket, _, variant), reqs in groups.items():
+            self._run_bucket(bucket, reqs, variant)
 
-    def _run_bucket(self, bucket: int, reqs: List[_Request]):
-        sampler = self._samplers.get(bucket, self._overflow)
+    def _run_bucket(self, bucket: int, reqs: List[_Request],
+                    variant: tuple = (None, None)):
+        sampler = self._sampler_for(bucket if bucket in self.node_buckets
+                                    else 0, variant)
         try:
             samples = [s for r in reqs for s in r.samples]
             sizes = np.concatenate([r.sizes for r in reqs])
@@ -388,6 +458,8 @@ class SamplingService:
                         sl[k] = v
                 sl['linker_sizes'] = r.sizes
                 r.future.set_result(sl)
+                if r.t_submit:
+                    self.latencies_s.append(time.monotonic() - r.t_submit)
                 off += n
         except Exception as e:
             for r in reqs:

@@ -36,6 +36,8 @@ def main():
                    help='full-batch waves for the saturated measurement')
     p.add_argument('--n-samples', type=int, default=8,
                    help='rows per request (batch/n_samples requests per wave)')
+    p.add_argument('--fast-steps', type=int, default=10,
+                   help='per-request fast-lane chain length (ddim)')
     p.add_argument('--out', default='docs/serving_throughput.json')
     args = p.parse_args()
 
@@ -122,6 +124,22 @@ def main():
         svc.generate(requests[i % n_req], n_samples=args.n_samples,
                      size_spec=sizes[i % n_req])
         lat.append(time.monotonic() - t0)
+
+    # --- per-request fast lane (steps/sampler override, VERDICT r4 item 6) --
+    # a latency-sensitive client passes steps=<short>/sampler='ddim' on its
+    # OWN requests; the first pays that variant's compile, the rest are warm
+    t0 = time.monotonic()
+    svc.generate(requests[0], n_samples=args.n_samples, size_spec=sizes[0],
+                 steps=args.fast_steps, sampler='ddim')
+    fast_compile_s = time.monotonic() - t0
+    fast_lat = []
+    for i in range(5):
+        t0 = time.monotonic()
+        svc.generate(requests[i % n_req], n_samples=args.n_samples,
+                     size_spec=sizes[i % n_req],
+                     steps=args.fast_steps, sampler='ddim')
+        fast_lat.append(time.monotonic() - t0)
+    percentiles = svc.latency_percentiles()
     svc.close()
 
     result = {
@@ -140,6 +158,16 @@ def main():
             'mean': round(sum(lat) / len(lat), 3)},
         'single_request_vs_offline_chain':
             round(min(lat) / offline_s, 3),
+        'service_latency_percentiles': percentiles,
+        'fast_lane': {
+            'steps': args.fast_steps, 'sampler': 'ddim',
+            'first_request_compile_s': round(fast_compile_s, 2),
+            'warm_latency_s': {
+                'min': round(min(fast_lat), 3), 'max': round(max(fast_lat), 3),
+                'mean': round(sum(fast_lat) / len(fast_lat), 3)},
+            'speedup_vs_default_lane':
+                round(min(lat) / min(fast_lat), 2),
+        },
     }
     print(json.dumps(result, indent=2))
     with open(args.out, 'w') as f:

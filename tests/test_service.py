@@ -67,7 +67,7 @@ def test_service_cobatches_and_routes_rows_exactly():
     # exactly ONE chain call served them, through ONE compiled program
     assert svc.stats['batches'] == 1, svc.stats
     assert svc.stats['requests'] == 3 and svc.stats['rows'] == 6
-    assert len(svc._samplers[16]._compiled) == 1
+    assert len(svc._samplers[(16, (None, None))]._compiled) == 1
 
     for (sample, n, size), out in zip(reqs, outs):
         assert out['positions'].shape[0] == n
@@ -107,11 +107,11 @@ def test_service_update_params_keeps_compiled_chains():
     try:
         s = _raw_sample(5, 11)
         out0 = svc.generate(s, n_samples=2, size_spec=4)
-        n_compiled = len(svc._samplers[16]._compiled)
+        n_compiled = len(svc._samplers[(16, (None, None))]._compiled)
         assert svc.update_params(_params(cfg, 1)).result(timeout=60)
         out1 = svc.generate(s, n_samples=2, size_spec=4)
         # same compiled program, different weights → different linkers
-        assert len(svc._samplers[16]._compiled) == n_compiled
+        assert len(svc._samplers[(16, (None, None))]._compiled) == n_compiled
         nf = s['num_atoms']
         assert np.abs(out0['positions'][:, nf:nf + 4]
                       - out1['positions'][:, nf:nf + 4]).max() > 1e-4
@@ -133,7 +133,7 @@ def test_service_never_overshoots_the_compiled_batch_shape():
         outs = [f.result(timeout=300) for f in futs]
     assert all(not o['nan_flag'].any() for o in outs)
     assert svc.stats['batches'] == 2       # 3+3 rows can't share one 4-row call
-    assert len(svc._samplers[16]._compiled) == 1  # ...but share ONE program
+    assert len(svc._samplers[(16, (None, None))]._compiled) == 1  # ...but share ONE program
 
 
 def test_service_rejects_after_close_and_bad_requests():
@@ -307,3 +307,63 @@ def test_serve_cli_pocket_request(tmp_path, monkeypatch):
     assert len(symbols) == 8
     # protein frame restored: fragment rows match the input file exactly
     np.testing.assert_allclose(got_pos[:5], pos[0], atol=1e-3)
+
+
+def test_service_per_request_steps_and_sampler_variants():
+    """VERDICT r4 item 6: per-request steps/sampler overrides. Same-variant
+    requests co-batch; distinct variants run as separate chain calls on their
+    own lazily compiled programs; no-op overrides normalize onto the default
+    variant; latency percentiles are recorded."""
+    cfg = _cfg(timesteps=8)
+    with SamplingService(cfg, _params(cfg), batch_size=8, max_wait_s=0.5,
+                         node_buckets=(16,)) as svc:
+        default = svc.submit(_raw_sample(5, 1), n_samples=1, size_spec=4)
+        # == defaults -> must reuse the default variant's program
+        noop = svc.submit(_raw_sample(6, 2), n_samples=1, size_spec=4,
+                          steps=8, sampler='ancestral')
+        fast = svc.submit(_raw_sample(5, 3), n_samples=2, size_spec=4,
+                          steps=4)
+        ddim = svc.submit(_raw_sample(5, 4), n_samples=1, size_spec=4,
+                          steps=4, sampler='ddim')
+        outs = [f.result(timeout=300) for f in (default, noop, fast, ddim)]
+
+    for out in outs:
+        assert not out['nan_flag'].any()
+    # default+noop co-batch into one call; fast and ddim each their own
+    assert svc.stats['batches'] == 3, svc.stats
+    keys = set(svc._samplers)
+    assert (16, (4, None)) in keys and (16, (4, 'ddim')) in keys
+    # the fast variant respaces on the trained grid (exact subsequence)
+    fast_cfg = svc._samplers[(16, (4, None))].cfg.diffusion
+    assert fast_cfg.timesteps == 4 and fast_cfg.schedule_timesteps == 8
+    ddim_cfg = svc._samplers[(16, (4, 'ddim'))].cfg.diffusion
+    assert ddim_cfg.sampler == 'ddim'
+    lat = svc.latency_percentiles()
+    assert lat['count'] == 4 and lat['p95_s'] >= lat['p50_s'] > 0
+
+    # validation errors surface in the caller
+    with SamplingService(cfg, _params(cfg), batch_size=4,
+                         node_buckets=(16,)) as svc2:
+        with pytest.raises(ValueError, match='steps'):
+            svc2.submit(_raw_sample(5, 5), steps=0)
+        with pytest.raises(ValueError, match='sampler'):
+            svc2.submit(_raw_sample(5, 5), sampler='euler')
+
+
+def test_service_variant_sampler_sees_param_swaps():
+    """A lazily built variant created AFTER update_params must use the
+    swapped weights, and an existing variant must be updated in place."""
+    cfg = _cfg(timesteps=8)
+    p0, p1 = _params(cfg, 0), _params(cfg, 1)
+    with SamplingService(cfg, p0, batch_size=4, max_wait_s=0.05,
+                         node_buckets=(16,)) as svc:
+        svc.submit(_raw_sample(5, 1), size_spec=4, steps=4).result(timeout=300)
+        svc.update_params(p1).result(timeout=300)
+        # existing variant updated in place
+        leaf0 = jax.tree.leaves(svc._samplers[(16, (4, None))].params)[0]
+        leaf1 = jax.tree.leaves(p1)[0]
+        np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
+        # new variant built after the swap uses the swapped weights
+        svc.submit(_raw_sample(5, 2), size_spec=4, steps=2).result(timeout=300)
+        leaf2 = jax.tree.leaves(svc._samplers[(16, (2, None))].params)[0]
+        np.testing.assert_array_equal(np.asarray(leaf2), np.asarray(leaf1))
