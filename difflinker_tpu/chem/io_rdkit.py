@@ -77,6 +77,13 @@ def read_molecule(path: str):
 # ---------------------------------------------------------------------------
 
 def _read_sdf_native(path: str) -> Iterator[MolGraph]:
+    for _, mg in read_sdf_named_native(path):
+        yield mg
+
+
+def read_sdf_named_native(path: str) -> Iterator[tuple]:
+    """(title-line name, MolGraph) pairs — the join key the data-prep
+    pipelines match against their tables (dataprep/zinc.process_sdf)."""
     with open(path) as f:
         content = f.read()
     for block in content.split('$$$$'):
@@ -104,4 +111,5 @@ def _read_sdf_native(path: str) -> Iterator[MolGraph]:
         keep = np.asarray([t >= 0 for t in types])
         mg = MolGraph(np.asarray(types, np.int64), np.asarray(pos, np.float32),
                       bonds)
-        yield mg.subgraph(np.where(keep)[0]) if not keep.all() else mg
+        name = lines[0].strip()
+        yield name, (mg.subgraph(np.where(keep)[0]) if not keep.all() else mg)

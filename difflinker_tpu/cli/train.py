@@ -185,7 +185,8 @@ def main(argv=None):
         common.log(f'epoch {epoch}: loss/train={train_metrics["loss"]:.4f} '
                    f'loss/val={val_loss} ({dt:.1f}s)')
 
-        if not args.no_sampling_eval and (epoch + 1) % eval_every == 0:
+        if (not args.no_sampling_eval and eval_every > 0
+                and (epoch + 1) % eval_every == 0):
             # one sampler for the whole run (compiled chains persist across
             # evals; weights are swapped as jit arguments). With --ema the
             # EMA weights are evaluated — they are what inference loads.

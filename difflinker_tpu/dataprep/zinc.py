@@ -92,12 +92,31 @@ def run(table_path: str, sdf_path: str, out_mol_path: str, out_frag_path: str,
     table = pd.read_csv(table_path, sep=' ',
                         names=['molecule', 'linker', 'fragments',
                                'distance', 'angle'])
-    molecules, fragments, linkers, out_table = process_sdf(
+    try:
+        import rdkit  # noqa: F401
+        has_rdkit = True
+    except ImportError:
+        has_rdkit = False
+    if has_rdkit:
+        molecules, fragments, linkers, out_table = process_sdf(
+            sdf_path, table, progress)
+        out_table.to_csv(out_table_path, index=False)
+        _write_sdf(molecules, out_mol_path)
+        _write_sdf(fragments, out_frag_path, kekulize=False)
+        _write_sdf(linkers, out_link_path, kekulize=False)
+        return
+    # rdkit-free tier: native SMILES parse + VF2 matching
+    # (dataprep/fragmentation_native.py) and MOL-V2000 writes — same
+    # artifact contract, so cli.train consumes the outputs unchanged
+    from difflinker_tpu.dataprep.fragmentation_native import process_sdf_native
+    from difflinker_tpu.io.xyz import write_sdf as write_sdf_native
+    molecules, fragments, linkers, out_table = process_sdf_native(
         sdf_path, table, progress)
     out_table.to_csv(out_table_path, index=False)
-    _write_sdf(molecules, out_mol_path)
-    _write_sdf(fragments, out_frag_path, kekulize=False)
-    _write_sdf(linkers, out_link_path, kekulize=False)
+    titles = [str(s) for s in out_table['molecule']] if len(out_table) else []
+    write_sdf_native(molecules, out_mol_path, titles=titles)
+    write_sdf_native(fragments, out_frag_path, titles=titles)
+    write_sdf_native(linkers, out_link_path, titles=titles)
 
 
 def _run_chunk(args):

@@ -34,6 +34,12 @@ def recipe_config(meta: dict, timesteps: int = None,
     T = timesteps or meta['timesteps']
     diffusion = DiffusionConfig(
         timesteps=T,
+        # distilled students run a short chain whose gamma lives on the
+        # teacher's trained grid with the DDIM integrator (demo_distill.py
+        # sidecars record both) — honouring them here is what lets a student
+        # npz round-trip through cli.sample/cli.serve unchanged
+        schedule_timesteps=meta.get('schedule_timesteps'),
+        sampler=meta.get('sampler', 'ancestral'),
         noise_schedule=meta.get('noise_schedule', 'polynomial_2'),
         loss_type=meta.get('loss_type', 'l2'),
         inpainting=bool(meta.get('inpainting', False)))

@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Progressive step distillation, measured end to end (VERDICT r4 item 1).
+
+Halves a trained teacher's DDIM chain stage by stage
+(train/distill.py, Salimans & Ho 2022): T -> T/2 -> ... -> 8. Each stage
+trains a student to reproduce its teacher's TWO DDIM transitions in ONE,
+then the student becomes the next stage's teacher. Every stage is scored
+with the standard battery (validity / valid+connected / uniqueness on a
+synthetic val set) next to the UNDISTILLED baselines at the same step count
+(ancestral subsequence respacing and plain DDIM), so the JSON answers the
+real question: what does distillation buy over just respacing?
+
+The teacher must be trained on a power-of-two-friendly grid (the stage
+constraint is grid % (2*student_T) == 0):
+
+    python scripts/demo_learning.py --hidden 256 --layers 6 --timesteps 512 \
+        --train-size 4000 --epochs 1500 --cosine \
+        --save-params examples/params/zinc_h256_t512.npz
+    python scripts/demo_distill.py --teacher examples/params/zinc_h256_t512.npz
+
+Matches the O(T) sampling-cost regime of the reference
+(/root/reference/src/edm.py:146-163 — it always pays T sequential EGNN
+forwards); this is TPU-serving headroom beyond parity.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--teacher', default='examples/params/zinc_h256_t512.npz')
+    p.add_argument('--stages', default='256,128,64,32,16,8',
+                   help='comma-separated student_T per halving stage')
+    p.add_argument('--steps-per-stage', type=int, default=1500)
+    p.add_argument('--batch-size', type=int, default=128)
+    p.add_argument('--lr', type=float, default=2e-4)
+    p.add_argument('--train-size', type=int, default=4000)
+    p.add_argument('--eval-n', type=int, default=256)
+    p.add_argument('--eval-batch', type=int, default=64)
+    p.add_argument('--scan-chunk', type=int, default=25,
+                   help='distill steps fused into one lax.scan program')
+    p.add_argument('--save-students', default='32,16,8',
+                   help='student_T values exported as npz (+ sidecar config)')
+    p.add_argument('--out', default='docs/distill_results.json')
+    args = p.parse_args()
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from difflinker_tpu.cli import common
+    from difflinker_tpu.config import respace_config
+    from difflinker_tpu.data.packed import PackedDataset
+    from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
+    from difflinker_tpu.demo import load_demo_model, recipe_val_dataset
+    from difflinker_tpu.io.checkpoints import save_params_npz
+    from difflinker_tpu.ops import geometry
+    from difflinker_tpu.ops.geometry import fc_edge_mask
+    from difflinker_tpu.sample.sampler import LinkerSampler
+    from difflinker_tpu.train.distill import Distiller
+    from difflinker_tpu.train.evaluation import sample_and_analyze
+    from difflinker_tpu.train.trainer import assemble_context, com_mask_for
+
+    common.enable_compilation_cache()
+    cfg, teacher_params, meta = load_demo_model(args.teacher,
+                                                exp_name='distill')
+    grid = cfg.diffusion.schedule_timesteps or cfg.diffusion.timesteps
+    stages = [int(s) for s in args.stages.split(',')]
+    save_set = {int(s) for s in args.save_students.split(',') if s}
+    print(f'teacher: {args.teacher} (grid T={grid}); stages {stages}',
+          flush=True)
+
+    train_raw = synthetic_molecule_dataset(args.train_size, seed=0)
+    train_ds = PackedDataset(train_raw.samples)
+    val_ds = recipe_val_dataset(meta, args.eval_n, seed=1)
+
+    def prepare(batch):
+        """Context + CoM removal, the Trainer's exact preprocessing
+        (rotation aug is free for an E(3)-equivariant denoiser, skipped)."""
+        x = batch['positions']
+        node_mask = batch['atom_mask']
+        ctx = assemble_context(batch,
+                               anchors_context=cfg.train.anchors_context,
+                               has_pocket=cfg.data.has_pocket)
+        com = com_mask_for(batch, center_of_mass=cfg.train.center_of_mass,
+                           has_pocket=cfg.data.has_pocket, inpainting=False)
+        x = geometry.remove_partial_mean_with_mask(x, node_mask, com)
+        return x, ctx
+
+    def eval_quality(eval_cfg, params, label):
+        sampler = LinkerSampler(eval_cfg, params,
+                                pad_batch_to=args.eval_batch)
+        t0 = time.time()
+        m = sample_and_analyze(sampler,
+                               val_ds.iter_batches(args.eval_batch),
+                               jax.random.PRNGKey(7), n_samples=1)
+        row = {'label': label,
+               'T': eval_cfg.diffusion.timesteps,
+               'sampler': eval_cfg.diffusion.sampler,
+               'validity': round(m['validity'], 4),
+               'validity_and_connectivity':
+                   round(m['validity_and_connectivity'], 4),
+               'uniqueness': round(m['uniqueness'], 4),
+               'eval_s': round(time.time() - t0, 1)}
+        print(json.dumps(row), flush=True)
+        return row
+
+    results = {'teacher': args.teacher, 'grid': grid, 'stages': [],
+               'baselines': []}
+
+    # teacher reference point on its full grid
+    results['baselines'].append(eval_quality(cfg, teacher_params,
+                                             'teacher_ancestral_T%d' % grid))
+
+    current = teacher_params
+    for student_T in stages:
+        print(f'--- stage: T={2 * student_T} -> {student_T} ---', flush=True)
+        d = Distiller(cfg.model, cfg.diffusion, student_T)
+        student = d.init_student(current)
+        tx = optax.adam(optax.cosine_decay_schedule(
+            args.lr, args.steps_per_stage))
+        opt = tx.init(student)
+
+        # scan-chunked training: args.scan_chunk steps per dispatch, fresh
+        # data each chunk (the batch enters as a jit arg, not a constant)
+        @jax.jit
+        def run_chunk(st, op, batch, keys):
+            def body(carry, key):
+                st, op = carry
+                kb, kl = jax.random.split(key)
+                x, ctx = prepare(batch)
+
+                def loss_fn(p):
+                    out = d.distill_loss(
+                        p, st_teacher, kl, x, batch['one_hot'],
+                        batch['atom_mask'], batch['fragment_mask'],
+                        batch['linker_mask'], batch['edge_mask'], ctx)
+                    return out['loss']
+
+                loss, g = jax.value_and_grad(loss_fn)(st)
+                upd, op2 = tx.update(g, op, st)
+                return (optax.apply_updates(st, upd), op2), loss
+            (st, op), losses = jax.lax.scan(body, (st, op), keys)
+            return st, op, losses
+
+        st_teacher = current  # device-resident through the jit closure
+        key = jax.random.PRNGKey(11 + student_T)
+        batch_iter = iter(train_ds.iter_batches(
+            args.batch_size, shuffle=True, seed=student_T, drop_last=True))
+        losses_log = []
+        t_stage = time.time()
+        step = 0
+        while step < args.steps_per_stage:
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                batch_iter = iter(train_ds.iter_batches(
+                    args.batch_size, shuffle=True, seed=student_T + step,
+                    drop_last=True))
+                batch = next(batch_iter)
+            batch = dict(batch)
+            if 'edge_mask' not in batch:
+                batch['edge_mask'] = fc_edge_mask(
+                    jnp.asarray(batch['atom_mask']))
+            key, kc = jax.random.split(key)
+            keys = jax.random.split(kc, args.scan_chunk)
+            student, opt, losses = run_chunk(student, opt, batch, keys)
+            step += args.scan_chunk
+            losses_log.append(float(losses[-1]))
+        stage_s = time.time() - t_stage
+
+        # student quality at its step count (ddim, shared trained grid)
+        student_cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+            cfg.diffusion, timesteps=student_T, schedule_timesteps=grid,
+            sampler='ddim', resample_steps=1))
+        row = eval_quality(student_cfg, student, f'student_T{student_T}')
+        row.update({'loss_first': round(losses_log[0], 5),
+                    'loss_last': round(losses_log[-1], 5),
+                    'train_s': round(stage_s, 1),
+                    'steps': args.steps_per_stage})
+
+        # undistilled baselines at the SAME step count
+        base_ddim = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+            cfg.diffusion, timesteps=student_T, schedule_timesteps=grid,
+            sampler='ddim', resample_steps=1))
+        row['baseline_ddim'] = eval_quality(
+            base_ddim, teacher_params, f'undistilled_ddim_T{student_T}')
+        base_anc = respace_config(cfg, student_T)
+        row['baseline_ancestral'] = eval_quality(
+            base_anc, teacher_params, f'undistilled_ancestral_T{student_T}')
+
+        results['stages'].append(row)
+        if student_T in save_set:
+            out_npz = args.teacher.replace('.npz',
+                                           f'_distill_T{student_T}.npz')
+            save_params_npz(student, out_npz)
+            with open(out_npz + '.config.json', 'w') as f:
+                json.dump({**meta, 'timesteps': student_T,
+                           'schedule_timesteps': grid, 'sampler': 'ddim',
+                           'distilled_from': os.path.basename(args.teacher)},
+                          f)
+            row['saved'] = out_npz
+            print(f'saved {out_npz}', flush=True)
+        current = student
+        with open(args.out, 'w') as f:
+            json.dump(results, f, indent=2)
+
+    with open(args.out, 'w') as f:
+        json.dump(results, f, indent=2)
+    print('done ->', args.out, flush=True)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
