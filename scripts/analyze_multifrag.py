@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--params', required=True)
     p.add_argument('--val-size', type=int, default=256)
@@ -30,8 +30,11 @@ def main():
     p.add_argument('--resample-steps', type=int, default=1,
                    help='RePaint repeats per reverse step (masked-path '
                         'harmonisation)')
+    p.add_argument('--noise-scale', type=float, default=1.0,
+                   help='low-temperature sampling (<1 cools the posterior '
+                        'draw of every reverse transition)')
     p.add_argument('--out', default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import dataclasses
     import jax
@@ -47,6 +50,9 @@ def main():
     if args.resample_steps > 1:
         cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
             cfg.diffusion, resample_steps=args.resample_steps))
+    if args.noise_scale != 1.0:
+        cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+            cfg.diffusion, noise_scale=args.noise_scale))
 
     val_ds = recipe_val_dataset(mc, args.val_size, seed=1)
     sampler = LinkerSampler(cfg, params, pad_batch_to=64)
@@ -79,7 +85,8 @@ def main():
 
     report = {'sample_T': args.steps or mc['timesteps'],
               'trained_T': mc['timesteps'],
-              'resample_steps': args.resample_steps, 'by_k': {}}
+              'resample_steps': args.resample_steps,
+              'noise_scale': args.noise_scale, 'by_k': {}}
     succ_by_k = {}
     for rec in inputs.values():
         s = succ_by_k.setdefault(rec['k'], {'n': 0, 'hit': 0})

@@ -76,7 +76,11 @@ def score_outputs(out_dir, fragments_sdf=None):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--params', default='examples/params/pocket_geom_h256.npz')
+    p.add_argument('--params', default='examples/params/pocket_case_h256.npz',
+                   help='case-scale fine-tune of the GEOM-vocab pocket demo '
+                        'weights (residue-style pockets at crystal-structure '
+                        'scale, docs/train_case_scale.json); pass '
+                        'pocket_geom_h256.npz for the round-4 baseline')
     p.add_argument('--size-model',
                    default='examples/params/size_pocket_geom.ckpt',
                    help="SizeGNN .ckpt for the 'learned' size spec "

@@ -38,9 +38,13 @@ def main():
     p.add_argument('--teacher', default='examples/params/zinc_h256_t512.npz')
     p.add_argument('--stages', default='256,128,64,32,16,8',
                    help='comma-separated student_T per halving stage')
-    p.add_argument('--steps-per-stage', type=int, default=1500)
+    p.add_argument('--steps-per-stage', type=int, default=2500)
     p.add_argument('--batch-size', type=int, default=128)
-    p.add_argument('--lr', type=float, default=2e-4)
+    # a converged teacher + fresh Adam state: low peak lr with warmup, or
+    # the early steps wreck the init (measured: lr 2e-4 took stage-1 loss
+    # 0.26 -> 0.30 and V+C down 16 points)
+    p.add_argument('--lr', type=float, default=5e-5)
+    p.add_argument('--warmup', type=int, default=100)
     p.add_argument('--train-size', type=int, default=4000)
     p.add_argument('--eval-n', type=int, default=256)
     p.add_argument('--eval-batch', type=int, default=64)
@@ -125,8 +129,8 @@ def main():
         print(f'--- stage: T={2 * student_T} -> {student_T} ---', flush=True)
         d = Distiller(cfg.model, cfg.diffusion, student_T)
         student = d.init_student(current)
-        tx = optax.adam(optax.cosine_decay_schedule(
-            args.lr, args.steps_per_stage))
+        tx = optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, args.warmup, args.steps_per_stage))
         opt = tx.init(student)
 
         # scan-chunked training: args.scan_chunk steps per dispatch, fresh
