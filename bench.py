@@ -215,6 +215,8 @@ def _regressions(result, prev, threshold=0.10):
         ('pocket_n512_dense',
          result.get('pocket_n512_dense', {}).get('value'),
          prev.get('pocket_n512_dense', {}).get('value')),
+        ('distilled_T8', result.get('distilled_T8', {}).get('value'),
+         prev.get('distilled_T8', {}).get('value')),
         ('train.zinc', result.get('train', {}).get('zinc', {}).get('value'),
          prev.get('train', {}).get('zinc', {}).get('value')),
         ('train.pocket',
@@ -229,6 +231,11 @@ def _regressions(result, prev, threshold=0.10):
             out.append({'entry': name, 'now': now, 'prev': before,
                         'drop_pct': round(100 * (1 - now / before), 1)})
     return out
+
+
+def dataclasses_replace_dtype(model_cfg, dtype):
+    import dataclasses
+    return dataclasses.replace(model_cfg, dtype=dtype)
 
 
 def main():
@@ -306,6 +313,37 @@ def main():
     r_lps, r_dt = _chain_throughput(edm50, params, _zinc_inputs(B, N), B)
     r_fl = flops_lib.chain_flops(B, N, 50, zcfg)
 
+    # -- distilled fast lane: progressive-distillation student at T=8 -------
+    # (VERDICT r4 item 1; artifact produced by scripts/demo_distill.py,
+    # quality table in docs/distill_results.json). Gated on the artifact so
+    # the bench runs in fresh checkouts; the student is the wide 6x256 demo
+    # model, so this line measures the SERVING operating point, not the
+    # 8x128 reference-parity shape above.
+    distilled = None
+    d_npz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'examples', 'params',
+                         'zinc_h256_t512_distill_T8.npz')
+    if os.path.exists(d_npz):
+        from difflinker_tpu.demo import load_demo_model
+        dcfg_full, dparams, dmeta = load_demo_model(d_npz)
+        dmc = dataclasses_replace_dtype(dcfg_full.model, 'bfloat16')
+        dedm2 = make_edm(dmc, dcfg_full.diffusion)
+        dl_lps, dl_dt = _chain_throughput(dedm2, dparams, _zinc_inputs(B, N),
+                                          B)
+        dl_fl = flops_lib.chain_flops(B, N, dcfg_full.diffusion.timesteps,
+                                      dmc)
+        distilled = {
+            'metric': f'distilled student chain (T='
+                      f'{dcfg_full.diffusion.timesteps} ddim on the trained '
+                      f'T={dcfg_full.diffusion.schedule_timesteps} grid, '
+                      f'B={B}, N={N}, 6x256 EGNN bf16)',
+            'value': round(dl_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'vs_baseline': round(dl_lps / REFERENCE_LINKERS_PER_SEC, 1),
+            'mfu': round(dl_fl / dl_dt / peak16, 4) if peak16 else None,
+            'quality': 'docs/distill_results.json',
+        }
+
     # -- training lines: full fused step, auto-remat policy ------------------
     # (VERDICT r3: train MFU per shape; remat='auto' drops the per-block
     # checkpoint exactly where the backward fits HBM — config.resolve_remat)
@@ -358,6 +396,7 @@ def main():
             'mfu': round(d_fl / d_dt / peak16, 4) if peak16 else None,
             'sparse_over_dense': round(s_lps / d_lps, 2),
         },
+        **({'distilled_T8': distilled} if distilled else {}),
         'respaced_T50': {
             'metric': f'same model, --steps 50 (quality flat to T=50, '
                       'BASELINE.md respacing study)',
