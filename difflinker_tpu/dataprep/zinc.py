@@ -92,12 +92,12 @@ def run(table_path: str, sdf_path: str, out_mol_path: str, out_frag_path: str,
     table = pd.read_csv(table_path, sep=' ',
                         names=['molecule', 'linker', 'fragments',
                                'distance', 'angle'])
-    try:
-        import rdkit  # noqa: F401
-        has_rdkit = True
-    except ImportError:
-        has_rdkit = False
-    if has_rdkit:
+    # molgraph.HAS_RDKIT verifies a USABLE rdkit (a real symbol exists), not
+    # just an importable module — test fixtures stub `rdkit` in sys.modules
+    # with bond enums only, and a bare `import rdkit` would mis-route onto
+    # the Chem.SDMolSupplier path here.
+    from difflinker_tpu.chem.molgraph import HAS_RDKIT
+    if HAS_RDKIT:
         molecules, fragments, linkers, out_table = process_sdf(
             sdf_path, table, progress)
         out_table.to_csv(out_table_path, index=False)

@@ -46,6 +46,9 @@ def main():
                    help="reverse integrator(s) to measure: 'ddim' (eta=0, "
                         'deterministic) typically holds quality at far '
                         'fewer steps than the ancestral sampler')
+    p.add_argument('--noise-scale', type=float, default=1.0,
+                   help='low-temperature sampling knob (ancestral only; '
+                        '<1 scales the per-step noise injection)')
     p.add_argument('--out', type=str, default=None)
     args = p.parse_args()
 
@@ -78,6 +81,9 @@ def main():
         if integrator != 'ancestral':
             cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
                 cfg.diffusion, sampler=integrator))
+        elif args.noise_scale != 1.0:
+            cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, noise_scale=args.noise_scale))
         sampler = LinkerSampler(cfg, params, pad_batch_to=64)
         # warm-up to exclude compile time from the throughput number
         batches = list(val_ds.iter_batches(64))
@@ -88,6 +94,8 @@ def main():
         dt = time.time() - t0
         n_linkers = args.val_size * args.n_samples
         row = {'T': T, 'mode': mode, 'sampler': integrator,
+               **({'noise_scale': args.noise_scale}
+                  if args.noise_scale != 1.0 else {}),
                'validity': round(m['validity'], 4),
                'validity_and_connectivity':
                    round(m['validity_and_connectivity'], 4),
