@@ -217,6 +217,8 @@ def _regressions(result, prev, threshold=0.10):
          prev.get('pocket_n512_dense', {}).get('value')),
         ('distilled_T8', result.get('distilled_T8', {}).get('value'),
          prev.get('distilled_T8', {}).get('value')),
+        ('lowtemp_T25', result.get('lowtemp_T25', {}).get('value'),
+         prev.get('lowtemp_T25', {}).get('value')),
         ('train.zinc', result.get('train', {}).get('zinc', {}).get('value'),
          prev.get('train', {}).get('zinc', {}).get('value')),
         ('train.pocket',
@@ -313,6 +315,15 @@ def main():
     r_lps, r_dt = _chain_throughput(edm50, params, _zinc_inputs(B, N), B)
     r_fl = flops_lib.chain_flops(B, N, 50, zcfg)
 
+    # -- recommended low-T operating point: --steps 25 --noise-scale 0.7 ----
+    # Low-temperature sampling holds quality where plain respacing degrades
+    # (BASELINE.md round 5, docs/lowtemp_zinc_07.json: 84.0% V+C at T=25
+    # noise 0.7 vs 86.3% at T=500 noise 1.0) — a ~20x quality-held
+    # throughput multiplier over the T=500 headline.
+    edm25 = make_edm(zcfg, DiffusionConfig(timesteps=25, noise_scale=0.7))
+    lt_lps, lt_dt = _chain_throughput(edm25, params, _zinc_inputs(B, N), B)
+    lt_fl = flops_lib.chain_flops(B, N, 25, zcfg)
+
     # -- distilled fast lane: progressive-distillation student at T=8 -------
     # (VERDICT r4 item 1; artifact produced by scripts/demo_distill.py,
     # quality table in docs/distill_results.json). Gated on the artifact so
@@ -404,6 +415,15 @@ def main():
             'unit': 'linkers/sec/chip',
             'vs_baseline': round(r_lps / REFERENCE_LINKERS_PER_SEC, 1),
             'mfu': round(r_fl / r_dt / peak16, 4) if peak16 else None,
+        },
+        'lowtemp_T25': {
+            'metric': 'same model, --steps 25 --noise-scale 0.7 (the '
+                      'measured low-T recommendation, BASELINE.md round 5; '
+                      'quality docs/lowtemp_zinc_07.json)',
+            'value': round(lt_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'vs_baseline': round(lt_lps / REFERENCE_LINKERS_PER_SEC, 1),
+            'mfu': round(lt_fl / lt_dt / peak16, 4) if peak16 else None,
         },
         'train': {
             'zinc': {

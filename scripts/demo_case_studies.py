@@ -93,6 +93,9 @@ def main():
     p.add_argument('--pad-nodes', type=int, default=256,
                    help='shared chain shape across all cases/sizes: one '
                         'compile for the whole run')
+    p.add_argument('--noise-scale', type=float, default=1.0,
+                   help='low-temperature sampling knob passed through to '
+                        'cli.generate_with_protein')
     p.add_argument('--out', default='docs/case_studies.json')
     p.add_argument('--work', default='/tmp/case_studies')
     args = p.parse_args()
@@ -100,7 +103,10 @@ def main():
     from difflinker_tpu.cli import generate_with_protein as gwp
 
     results = {'params': args.params, 'steps': args.steps,
-               'n_samples_per_size': args.n_samples, 'cases': {}}
+               'n_samples_per_size': args.n_samples,
+               **({'noise_scale': args.noise_scale}
+                  if args.noise_scale != 1.0 else {}),
+               'cases': {}}
     for name, frag, pdb, anchors, sizes in CASES:
         frag_path = os.path.join(REF, frag)
         pdb_path = os.path.join(REF, pdb)
@@ -126,6 +132,7 @@ def main():
                 '--anchors', anchors, '--n-samples', str(args.n_samples),
                 '--steps', str(args.steps), '--pad-nodes',
                 str(args.pad_nodes), '--out', out_dir,
+                '--noise-scale', str(args.noise_scale),
                 '--seed', '1'] + extra)
             assert rc == 0, f'{name} size={size} failed'
             scores = score_outputs(out_dir, fragments_sdf=frag_path)

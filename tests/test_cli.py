@@ -11,7 +11,7 @@ import pytest
 CLIS = ['train', 'sample', 'generate', 'generate_with_protein',
         'generate_with_pocket', 'sample_trajectories', 'train_size_gnn',
         'compute_metrics', 'reformat', 'run_obabel', 'prepare_data',
-        'export_checkpoint', 'serve']
+        'export_checkpoint', 'serve', 'distill']
 
 
 @pytest.mark.parametrize('name', CLIS)

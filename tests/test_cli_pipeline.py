@@ -275,3 +275,51 @@ train:
     dirs = sorted(os.listdir(out), key=int)
     assert len(dirs) == 24
     assert os.path.exists(os.path.join(out, '0', '0_.xyz'))
+
+
+def test_distill_cli_produces_loadable_student_run(tmp_path):
+    """cli.distill end to end (round 5): train a tiny teacher through
+    cli.train, halve it one stage through the real distill main, and sample
+    from the emitted student RUN DIR through cli.sample — proving the
+    student artifact is a first-class run every CLI accepts."""
+    from difflinker_tpu.cli import distill as distill_cli
+    from difflinker_tpu.cli import sample as sample_cli
+    from difflinker_tpu.cli import train as train_cli
+
+    cfg_yml = _tiny_config_yaml(tmp_path)
+    rc = train_cli.main(['--config', cfg_yml, '--synthetic', '16',
+                         '--logs', str(tmp_path / 'logs')])
+    assert rc == 0
+    runs = os.listdir(tmp_path / 'ckpts')
+    run_dir = str(tmp_path / 'ckpts' / runs[0])
+
+    out_dir = str(tmp_path / 'distilled')
+    results = str(tmp_path / 'distill.json')
+    rc = distill_cli.main(['--run', run_dir, '--synthetic', '16',
+                           '--stages', '4', '--steps-per-stage', '4',
+                           '--scan-chunk', '2', '--batch-size', '8',
+                           '--out-dir', out_dir, '--results', results])
+    assert rc == 0
+    with open(results) as f:
+        res = json.load(f)
+    assert res['grid'] == 8
+    (stage,) = res['stages']
+    assert stage['student_T'] == 4
+    assert np.isfinite([stage['loss_first'], stage['loss_last']]).all()
+
+    student_run = os.path.join(out_dir, 'student_T4')
+    assert stage['run_dir'] == student_run
+    # the student config is the teacher's with the halved DDIM chain
+    from difflinker_tpu.io.checkpoints import load_config
+    scfg = load_config(student_run)
+    assert scfg.diffusion.timesteps == 4
+    assert scfg.diffusion.schedule_timesteps == 8
+    assert scfg.diffusion.sampler == 'ddim'
+
+    # sample from the student run dir through the real main
+    out = str(tmp_path / 'student_samples')
+    rc = sample_cli.main(['--run', student_run, '--synthetic', '4',
+                          '--n-samples', '1', '--batch-size', '4',
+                          '--out', out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, '0', '0_.xyz'))
