@@ -16,6 +16,9 @@ Protocol — one JSON object per stdin line:
                                    # (exact-subsequence respacing — the fast
                                    # lane; first use compiles, then warm)
      "sampler": "ddim",           # optional per-request integrator override
+     "noise_scale": 0.7,           # optional low-temperature override
+                                   # (ancestral only; BASELINE.md round 5:
+                                   # steps=50 + 0.5 beats the full chain)
      "out": "output"}              # output dir (default --out)
 
 Pocket-conditioned serving (a pocket model + "pocket"/"protein" requests)
@@ -173,7 +176,9 @@ def main(argv=None):
                 sample, n_samples=int(req.get('n_samples', 5)),
                 size_spec=spec,
                 steps=(int(req['steps']) if req.get('steps') else None),
-                sampler=req.get('sampler'))
+                sampler=req.get('sampler'),
+                noise_scale=(float(req['noise_scale'])
+                             if req.get('noise_scale') else None))
             # r<N> prefix keeps outputs of requests sharing a fragment
             # basename (and out dir) from overwriting each other
             meta = {'name': sample['name'],

@@ -140,7 +140,8 @@ class _Request:
     sizes: np.ndarray            # (n_samples,) resolved linker sizes
     bucket: int                  # node bucket this request routes to
     recenter: bool
-    variant: tuple = (None, None)  # (steps, sampler) chain override
+    # (steps, sampler, noise_scale) chain override
+    variant: tuple = (None, None, None)
     t_submit: float = 0.0        # monotonic submit time (latency stats)
     future: Future = field(default_factory=Future)
 
@@ -181,12 +182,12 @@ class SamplingService:
         self._max_retries = max_retries
         self._params = params
         # samplers keyed (bucket, variant); bucket 0 = overflow (natural
-        # per-batch shapes), variant (None, None) = the service defaults.
+        # per-batch shapes), variant (None, None, None) = the service defaults.
         # Default-variant samplers are built eagerly; per-request
         # steps/sampler variants compile lazily on their first request and
         # stay warm after (each distinct chain length IS a distinct XLA
         # program — that cost is physics, paid once per variant+bucket).
-        _default = (None, None)
+        _default = (None, None, None)
         self._samplers: Dict[tuple, LinkerSampler] = {
             (b, _default): LinkerSampler(
                 cfg, params, mesh=mesh, max_retries=max_retries,
@@ -218,17 +219,21 @@ class SamplingService:
                size_spec: SizeSpec = 'prior',
                recenter_output: bool = True,
                steps: Optional[int] = None,
-               sampler: Optional[str] = None) -> Future:
+               sampler: Optional[str] = None,
+               noise_scale: Optional[float] = None) -> Future:
         """Queue one fragment set for linker generation; returns a Future
         resolving to the request's slice of the sampler output dict
         (positions/one_hot/node_mask/linker_mask/fragment_mask/nan_flag,
         leading dim n_samples).
 
-        `steps` / `sampler` override the chain per request (the fast lane:
-        e.g. steps=50 respaced, or sampler='ddim' — exact-subsequence
+        `steps` / `sampler` / `noise_scale` override the chain per request
+        (the fast lane: e.g. steps=50 respaced with noise_scale=0.5 — the
+        measured best operating point, BASELINE.md round 5 — or
+        sampler='ddim' for a deterministic chain; exact-subsequence
         semantics on the service model's trained grid, config.respace_config).
-        Requests sharing a (steps, sampler) variant co-batch together; a
-        variant's first request pays its chain compile, then it's warm."""
+        Requests sharing a (steps, sampler, noise_scale) variant co-batch
+        together; a variant's first request pays its chain compile, then
+        it's warm."""
         if self._closed or not self._worker.is_alive():
             raise RuntimeError('service is closed')
         if steps is not None and int(steps) <= 0:
@@ -236,13 +241,29 @@ class SamplingService:
         if sampler is not None and sampler not in ('ancestral', 'ddim'):
             raise ValueError(f"sampler must be 'ancestral' or 'ddim', "
                              f'got {sampler!r}')
+        if noise_scale is not None:
+            noise_scale = float(noise_scale)
+            if not 0.0 < noise_scale:
+                raise ValueError(
+                    f'noise_scale must be positive, got {noise_scale}')
+            eff_sampler = sampler or self.cfg.diffusion.sampler
+            if eff_sampler == 'ddim' and noise_scale != 1.0:
+                # fail in the caller: the eta=0 integrator has no noise to
+                # scale, so the knob would be silently ignored
+                raise ValueError(
+                    'noise_scale has no effect under the ddim sampler '
+                    '(eta=0); drop it or use the ancestral sampler')
         # normalize no-op overrides onto the default variant so they reuse
         # the eagerly compiled programs instead of duplicating them
         if sampler == self.cfg.diffusion.sampler:
             sampler = None
         if steps is not None and int(steps) == self.cfg.diffusion.timesteps:
             steps = None  # respacing at T'=T is exact (bitwise the schedule)
-        variant = (int(steps) if steps is not None else None, sampler)
+        if (noise_scale is not None
+                and noise_scale == self.cfg.diffusion.noise_scale):
+            noise_scale = None
+        variant = (int(steps) if steps is not None else None, sampler,
+                   noise_scale)
         if int(n_samples) > self.batch_size:
             raise ValueError(
                 f'n_samples={n_samples} exceeds batch_size={self.batch_size} '
@@ -391,11 +412,14 @@ class SamplingService:
     def _variant_config(self, variant: tuple) -> ExperimentConfig:
         import dataclasses
         from difflinker_tpu.config import respace_config
-        steps, sampler = variant
+        steps, sampler, noise_scale = variant
         cfg = respace_config(self.cfg, steps)  # exact-subsequence semantics
         if sampler is not None:
             cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
                 cfg.diffusion, sampler=sampler))
+        if noise_scale is not None:
+            cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, noise_scale=noise_scale))
         return cfg
 
     def _sampler_for(self, bucket: int, variant: tuple) -> LinkerSampler:
@@ -418,7 +442,7 @@ class SamplingService:
             self._run_bucket(bucket, reqs, variant)
 
     def _run_bucket(self, bucket: int, reqs: List[_Request],
-                    variant: tuple = (None, None)):
+                    variant: tuple = (None, None, None)):
         sampler = self._sampler_for(bucket if bucket in self.node_buckets
                                     else 0, variant)
         try:

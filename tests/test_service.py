@@ -67,7 +67,7 @@ def test_service_cobatches_and_routes_rows_exactly():
     # exactly ONE chain call served them, through ONE compiled program
     assert svc.stats['batches'] == 1, svc.stats
     assert svc.stats['requests'] == 3 and svc.stats['rows'] == 6
-    assert len(svc._samplers[(16, (None, None))]._compiled) == 1
+    assert len(svc._samplers[(16, (None, None, None))]._compiled) == 1
 
     for (sample, n, size), out in zip(reqs, outs):
         assert out['positions'].shape[0] == n
@@ -107,11 +107,11 @@ def test_service_update_params_keeps_compiled_chains():
     try:
         s = _raw_sample(5, 11)
         out0 = svc.generate(s, n_samples=2, size_spec=4)
-        n_compiled = len(svc._samplers[(16, (None, None))]._compiled)
+        n_compiled = len(svc._samplers[(16, (None, None, None))]._compiled)
         assert svc.update_params(_params(cfg, 1)).result(timeout=60)
         out1 = svc.generate(s, n_samples=2, size_spec=4)
         # same compiled program, different weights → different linkers
-        assert len(svc._samplers[(16, (None, None))]._compiled) == n_compiled
+        assert len(svc._samplers[(16, (None, None, None))]._compiled) == n_compiled
         nf = s['num_atoms']
         assert np.abs(out0['positions'][:, nf:nf + 4]
                       - out1['positions'][:, nf:nf + 4]).max() > 1e-4
@@ -133,7 +133,7 @@ def test_service_never_overshoots_the_compiled_batch_shape():
         outs = [f.result(timeout=300) for f in futs]
     assert all(not o['nan_flag'].any() for o in outs)
     assert svc.stats['batches'] == 2       # 3+3 rows can't share one 4-row call
-    assert len(svc._samplers[(16, (None, None))]._compiled) == 1  # ...but share ONE program
+    assert len(svc._samplers[(16, (None, None, None))]._compiled) == 1  # ...but share ONE program
 
 
 def test_service_rejects_after_close_and_bad_requests():
@@ -325,21 +325,32 @@ def test_service_per_request_steps_and_sampler_variants():
                           steps=4)
         ddim = svc.submit(_raw_sample(5, 4), n_samples=1, size_spec=4,
                           steps=4, sampler='ddim')
-        outs = [f.result(timeout=300) for f in (default, noop, fast, ddim)]
+        # low-temperature lane: its own variant program (round 5)
+        cold = svc.submit(_raw_sample(6, 5), n_samples=1, size_spec=4,
+                          steps=4, noise_scale=0.7)
+        noop_ns = svc.submit(_raw_sample(5, 6), n_samples=1, size_spec=4,
+                             noise_scale=1.0)  # == default -> default lane
+        outs = [f.result(timeout=300)
+                for f in (default, noop, fast, ddim, cold, noop_ns)]
 
     for out in outs:
         assert not out['nan_flag'].any()
-    # default+noop co-batch into one call; fast and ddim each their own
-    assert svc.stats['batches'] == 3, svc.stats
+    # default+noop+noop_ns co-batch into one call; fast / ddim / cold each
+    # their own
+    assert svc.stats['batches'] == 4, svc.stats
     keys = set(svc._samplers)
-    assert (16, (4, None)) in keys and (16, (4, 'ddim')) in keys
+    assert (16, (4, None, None)) in keys
+    assert (16, (4, 'ddim', None)) in keys
+    assert (16, (4, None, 0.7)) in keys
     # the fast variant respaces on the trained grid (exact subsequence)
-    fast_cfg = svc._samplers[(16, (4, None))].cfg.diffusion
+    fast_cfg = svc._samplers[(16, (4, None, None))].cfg.diffusion
     assert fast_cfg.timesteps == 4 and fast_cfg.schedule_timesteps == 8
-    ddim_cfg = svc._samplers[(16, (4, 'ddim'))].cfg.diffusion
+    ddim_cfg = svc._samplers[(16, (4, 'ddim', None))].cfg.diffusion
     assert ddim_cfg.sampler == 'ddim'
+    cold_cfg = svc._samplers[(16, (4, None, 0.7))].cfg.diffusion
+    assert cold_cfg.noise_scale == 0.7 and cold_cfg.sampler == 'ancestral'
     lat = svc.latency_percentiles()
-    assert lat['count'] == 4 and lat['p95_s'] >= lat['p50_s'] > 0
+    assert lat['count'] == 6 and lat['p95_s'] >= lat['p50_s'] > 0
 
     # validation errors surface in the caller
     with SamplingService(cfg, _params(cfg), batch_size=4,
@@ -348,6 +359,10 @@ def test_service_per_request_steps_and_sampler_variants():
             svc2.submit(_raw_sample(5, 5), steps=0)
         with pytest.raises(ValueError, match='sampler'):
             svc2.submit(_raw_sample(5, 5), sampler='euler')
+        with pytest.raises(ValueError, match='noise_scale'):
+            svc2.submit(_raw_sample(5, 5), noise_scale=-0.5)
+        with pytest.raises(ValueError, match='ddim'):
+            svc2.submit(_raw_sample(5, 5), sampler='ddim', noise_scale=0.7)
 
 
 def test_service_variant_sampler_sees_param_swaps():
@@ -360,10 +375,10 @@ def test_service_variant_sampler_sees_param_swaps():
         svc.submit(_raw_sample(5, 1), size_spec=4, steps=4).result(timeout=300)
         svc.update_params(p1).result(timeout=300)
         # existing variant updated in place
-        leaf0 = jax.tree.leaves(svc._samplers[(16, (4, None))].params)[0]
+        leaf0 = jax.tree.leaves(svc._samplers[(16, (4, None, None))].params)[0]
         leaf1 = jax.tree.leaves(p1)[0]
         np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
         # new variant built after the swap uses the swapped weights
         svc.submit(_raw_sample(5, 2), size_spec=4, steps=2).result(timeout=300)
-        leaf2 = jax.tree.leaves(svc._samplers[(16, (2, None))].params)[0]
+        leaf2 = jax.tree.leaves(svc._samplers[(16, (2, None, None))].params)[0]
         np.testing.assert_array_equal(np.asarray(leaf2), np.asarray(leaf1))
