@@ -219,6 +219,8 @@ def _regressions(result, prev, threshold=0.10):
          prev.get('distilled_T8', {}).get('value')),
         ('lowtemp_T25', result.get('lowtemp_T25', {}).get('value'),
          prev.get('lowtemp_T25', {}).get('value')),
+        ('wide_h512', result.get('wide_h512', {}).get('value'),
+         prev.get('wide_h512', {}).get('value')),
         ('train.zinc', result.get('train', {}).get('zinc', {}).get('value'),
          prev.get('train', {}).get('zinc', {}).get('value')),
         ('train.pocket',
@@ -355,6 +357,34 @@ def main():
             'quality': 'docs/distill_results.json',
         }
 
+    # -- TPU-width flagship: H=512 demo model (artifact-gated) --------------
+    # Width is the measured TPU recommendation (ARCHITECTURE.md §5: MFU
+    # climbs 10% -> 41% from H=128 to H=512 because the MXU tiles fill).
+    # This line pins the sampling MFU of the trained 6x512 flagship
+    # (quality: docs/demo_learning_h512.json + docs/respacing_h512.json);
+    # the 8x128 headline above stays the reference-parity shape.
+    wide512 = None
+    w_npz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'examples', 'params', 'zinc_h512.npz')
+    if os.path.exists(w_npz):
+        from difflinker_tpu.demo import load_demo_model
+        wcfg_full, wparams, _ = load_demo_model(w_npz)
+        wmc = dataclasses_replace_dtype(wcfg_full.model, 'bfloat16')
+        wedm = make_edm(wmc, DiffusionConfig(timesteps=T))
+        w_lps, w_dt = _chain_throughput(wedm, wparams, _zinc_inputs(B, N), B)
+        w_fl = flops_lib.chain_flops(B, N, T, wmc)
+        wide512 = {
+            'metric': f'wide flagship chain (T={T}, B={B}, N={N}, '
+                      f'{wmc.n_layers}x{wmc.hidden_nf} EGNN bf16) — the '
+                      'TPU-width recommendation',
+            'value': round(w_lps, 2),
+            'unit': 'linkers/sec/chip',
+            'vs_baseline': round(w_lps / REFERENCE_LINKERS_PER_SEC, 1),
+            'tflops': round(w_fl / w_dt / 1e12, 2),
+            'mfu': round(w_fl / w_dt / peak16, 4) if peak16 else None,
+            'quality': 'docs/demo_learning_h512.json',
+        }
+
     # -- training lines: full fused step, auto-remat policy ------------------
     # (VERDICT r3: train MFU per shape; remat='auto' drops the per-block
     # checkpoint exactly where the backward fits HBM — config.resolve_remat)
@@ -408,6 +438,7 @@ def main():
             'sparse_over_dense': round(s_lps / d_lps, 2),
         },
         **({'distilled_T8': distilled} if distilled else {}),
+        **({'wide_h512': wide512} if wide512 else {}),
         'respaced_T50': {
             'metric': f'same model, --steps 50 (quality flat to T=50, '
                       'BASELINE.md respacing study)',

@@ -89,3 +89,23 @@ def test_load_demo_model_roundtrip(tmp_path):
         json.dump({**MULTIFRAG, 'hidden': 64}, f)
     with pytest.raises(ValueError, match='different model config'):
         load_demo_model(path)
+
+def test_bundled_artifacts_load():
+    """Every shipped examples/params/*.npz must load through
+    load_demo_model: the fp16 payload has to shape-validate against the
+    recipe rebuilt from its sidecar .config.json. Catches a corrupt or
+    mis-paired bundled artifact before a user (or bench.py's artifact-gated
+    lines) hits it."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'examples', 'params')
+    paths = sorted(glob.glob(os.path.join(root, '*.npz')))
+    assert paths, 'no bundled artifacts found'
+    for path in paths:
+        assert os.path.exists(path + '.config.json'), path
+        cfg, params, meta = load_demo_model(path)
+        assert cfg.model.hidden_nf == meta['hidden'], path
+        n_leaves = len(jax.tree.leaves(params))
+        assert n_leaves > 10, (path, n_leaves)
