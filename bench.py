@@ -19,6 +19,7 @@ these shapes (docs/ARCHITECTURE.md §5 has the full tables; exact-coverage
 tile merely ties dense). The K-neighbor sparse path (ModelConfig.neighbor_k)
 remains the opt-in for very large pockets (N >= 512).
 """
+import dataclasses
 import glob
 import json
 import os
@@ -237,11 +238,6 @@ def _regressions(result, prev, threshold=0.10):
     return out
 
 
-def dataclasses_replace_dtype(model_cfg, dtype):
-    import dataclasses
-    return dataclasses.replace(model_cfg, dtype=dtype)
-
-
 def main():
     import jax
 
@@ -339,7 +335,7 @@ def main():
     if os.path.exists(d_npz):
         from difflinker_tpu.demo import load_demo_model
         dcfg_full, dparams, dmeta = load_demo_model(d_npz)
-        dmc = dataclasses_replace_dtype(dcfg_full.model, 'bfloat16')
+        dmc = dataclasses.replace(dcfg_full.model, dtype='bfloat16')
         dedm2 = make_edm(dmc, dcfg_full.diffusion)
         dl_lps, dl_dt = _chain_throughput(dedm2, dparams, _zinc_inputs(B, N),
                                           B)
@@ -369,7 +365,7 @@ def main():
     if os.path.exists(w_npz):
         from difflinker_tpu.demo import load_demo_model
         wcfg_full, wparams, _ = load_demo_model(w_npz)
-        wmc = dataclasses_replace_dtype(wcfg_full.model, 'bfloat16')
+        wmc = dataclasses.replace(wcfg_full.model, dtype='bfloat16')
         wedm = make_edm(wmc, DiffusionConfig(timesteps=T))
         w_lps, w_dt = _chain_throughput(wedm, wparams, _zinc_inputs(B, N), B)
         w_fl = flops_lib.chain_flops(B, N, T, wmc)

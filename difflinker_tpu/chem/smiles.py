@@ -14,7 +14,7 @@ canonicalization; those never reach the matching step).
 Supported grammar: organic-subset atoms (B C N O P S F Cl Br I), aromatic
 lowercase (b c n o p s), bracket atoms ([*], [*:1], [nH], [N+], [O-],
 [13C], [C@@H] — isotope/chirality/H-count/charge/map parsed and, except for
-charge and symbol, ignored), bonds - = # $ : / \\, branches, ring closures
+charge and symbol, ignored), bonds - = # : / \\, branches, ring closures
 (digits and %nn), and dot-separated components.
 """
 from __future__ import annotations
@@ -124,7 +124,10 @@ def _parse_bracket(body: str):
     return sym, aromatic, charge
 
 
-_BOND_ORDER = {'-': 1, '=': 2, '#': 3, '$': 4, ':': AROMATIC_ORDER,
+# no '$' (quadruple): its order-4 code would collide with the MOL-V2000
+# aromatic convention (AROMATIC_ORDER = 4) and the protocol never emits it —
+# it falls through to the unsupported-char error instead of silently aliasing
+_BOND_ORDER = {'-': 1, '=': 2, '#': 3, ':': AROMATIC_ORDER,
                '/': 1, '\\': 1}
 
 
@@ -193,6 +196,8 @@ def parse_smiles(smi: str) -> SmilesGraph:
             prev = stack.pop()
             i += 1
         elif ch.isdigit() or ch == '%':
+            if prev < 0:
+                raise SmilesError(f'ring closure before any atom in {smi!r}')
             if ch == '%':
                 num, i = smi[i + 1:i + 3], i + 3
             else:

@@ -178,7 +178,7 @@ def main(argv=None):
         key = jax.random.PRNGKey(args.seed + student_T)
         batch_iter = iter(ds.iter_batches(args.batch_size, shuffle=True,
                                           seed=student_T, drop_last=True))
-        losses_log, step, t_stage = [], 0, time.time()
+        losses_log, loss_first, step, t_stage = [], None, 0, time.time()
         while step < args.steps_per_stage:
             try:
                 batch = next(batch_iter)
@@ -186,7 +186,13 @@ def main(argv=None):
                 batch_iter = iter(ds.iter_batches(
                     args.batch_size, shuffle=True, seed=student_T + step,
                     drop_last=True))
-                batch = next(batch_iter)
+                try:
+                    batch = next(batch_iter)
+                except StopIteration:
+                    raise SystemExit(
+                        f'dataset yields no batches at --batch-size '
+                        f'{args.batch_size} (drop_last): {len(ds)} molecules '
+                        f'— shrink --batch-size or grow the dataset')
             # keep numeric tensors only: dataset batches carry id/name
             # sidecars that cannot enter the jit boundary
             batch = {k: v for k, v in batch.items()
@@ -199,10 +205,14 @@ def main(argv=None):
             keys = jax.random.split(kc, args.scan_chunk)
             student, opt, losses = run_chunk(student, opt, batch, keys)
             step += args.scan_chunk
+            if loss_first is None:
+                # the stage's actual step-1 loss, not the end of chunk 1 —
+                # the quantity the early-divergence comparisons cite
+                loss_first = float(losses[0])
             losses_log.append(float(losses[-1]))
 
         row = {'student_T': student_T,
-               'loss_first': round(losses_log[0], 6),
+               'loss_first': round(loss_first, 6),
                'loss_last': round(losses_log[-1], 6),
                'steps': args.steps_per_stage,
                'train_s': round(time.time() - t_stage, 1)}

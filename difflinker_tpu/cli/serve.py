@@ -175,10 +175,14 @@ def main(argv=None):
             fut = service.submit(
                 sample, n_samples=int(req.get('n_samples', 5)),
                 size_spec=spec,
-                steps=(int(req['steps']) if req.get('steps') else None),
+                # `is not None`, not truthiness: steps=0 / noise_scale=0.0
+                # must reach submit()'s validation and come back as an error
+                # line, not be silently swapped for the service defaults
+                steps=(int(req['steps'])
+                       if req.get('steps') is not None else None),
                 sampler=req.get('sampler'),
                 noise_scale=(float(req['noise_scale'])
-                             if req.get('noise_scale') else None))
+                             if req.get('noise_scale') is not None else None))
             # r<N> prefix keeps outputs of requests sharing a fragment
             # basename (and out dir) from overwriting each other
             meta = {'name': sample['name'],

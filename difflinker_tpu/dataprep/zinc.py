@@ -84,18 +84,17 @@ def _write_sdf(mols, path, kekulize=True):
             writer.write(m)
 
 
-def run(table_path: str, sdf_path: str, out_mol_path: str, out_frag_path: str,
-        out_link_path: str, out_table_path: str, progress: bool = True):
-    """Full ZINC preparation entry (prepare_dataset.py:258-273). The input
-    table is the DeLinker .smi: `molecule linker fragments distance angle`."""
-    import pandas as pd
-    table = pd.read_csv(table_path, sep=' ',
-                        names=['molecule', 'linker', 'fragments',
-                               'distance', 'angle'])
-    # molgraph.HAS_RDKIT verifies a USABLE rdkit (a real symbol exists), not
-    # just an importable module — test fixtures stub `rdkit` in sys.modules
-    # with bond enums only, and a bare `import rdkit` would mis-route onto
-    # the Chem.SDMolSupplier path here.
+def _process_and_write(table, sdf_path, out_table_path, out_mol_path,
+                       out_frag_path, out_link_path, progress):
+    """Match the table against the conformer SDF and write the four
+    artifacts, dispatching on RDKit availability. The single gate for BOTH
+    the one-process and the chunked parallel drivers — keeping it here means
+    an RDKit-free image takes the native tier on every path.
+
+    molgraph.HAS_RDKIT verifies a USABLE rdkit (a real symbol exists), not
+    just an importable module — test fixtures stub `rdkit` in sys.modules
+    with bond enums only, and a bare `import rdkit` would mis-route onto
+    the Chem.SDMolSupplier path here."""
     from difflinker_tpu.chem.molgraph import HAS_RDKIT
     if HAS_RDKIT:
         molecules, fragments, linkers, out_table = process_sdf(
@@ -119,16 +118,25 @@ def run(table_path: str, sdf_path: str, out_mol_path: str, out_frag_path: str,
     write_sdf_native(linkers, out_link_path, titles=titles)
 
 
+def run(table_path: str, sdf_path: str, out_mol_path: str, out_frag_path: str,
+        out_link_path: str, out_table_path: str, progress: bool = True):
+    """Full ZINC preparation entry (prepare_dataset.py:258-273). The input
+    table is the DeLinker .smi: `molecule linker fragments distance angle`."""
+    import pandas as pd
+    table = pd.read_csv(table_path, sep=' ',
+                        names=['molecule', 'linker', 'fragments',
+                               'distance', 'angle'])
+    _process_and_write(table, sdf_path, out_table_path, out_mol_path,
+                       out_frag_path, out_link_path, progress)
+
+
 def _run_chunk(args):
     (table_chunk_csv, sdf_path, out_prefix) = args
     import pandas as pd
     table = pd.read_csv(table_chunk_csv)
-    molecules, fragments, linkers, out_table = process_sdf(
-        sdf_path, table, progress=False)
-    out_table.to_csv(f'{out_prefix}_table.csv', index=False)
-    _write_sdf(molecules, f'{out_prefix}_mol.sdf')
-    _write_sdf(fragments, f'{out_prefix}_frag.sdf', kekulize=False)
-    _write_sdf(linkers, f'{out_prefix}_link.sdf', kekulize=False)
+    _process_and_write(table, sdf_path, f'{out_prefix}_table.csv',
+                       f'{out_prefix}_mol.sdf', f'{out_prefix}_frag.sdf',
+                       f'{out_prefix}_link.sdf', progress=False)
     return out_prefix
 
 

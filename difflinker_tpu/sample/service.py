@@ -33,6 +33,7 @@ replicated `n_samples` times with linker sizes resolved per request
 """
 from __future__ import annotations
 
+import collections
 import itertools
 import queue
 import threading
@@ -200,9 +201,15 @@ class SamplingService:
         self._key = jax.random.PRNGKey(seed)
         self._submit_counter = itertools.count()
         self._batch_counter = itertools.count()
+        # LRU order over lazily built variant samplers (see _sampler_for)
+        self._variant_order: 'collections.OrderedDict' = \
+            collections.OrderedDict()
         self.stats = {'requests': 0, 'rows': 0, 'batches': 0,
                       'padded_rows': 0, 'chain_seconds': 0.0}
-        self.latencies_s: List[float] = []  # submit -> result, per request
+        # submit -> result, per request; bounded (a rolling window) so a
+        # long-lived serve process doesn't grow a float per request forever
+        self.latencies_s: 'collections.deque[float]' = collections.deque(
+            maxlen=50_000)
         self._closed = False
         # serializes the closed-check-plus-enqueue against close(): without
         # it a submit that passes the check just before close() flips the
@@ -422,15 +429,30 @@ class SamplingService:
                 cfg.diffusion, noise_scale=noise_scale))
         return cfg
 
+    # lazily built per-request-variant samplers kept warm at once; least
+    # recently used beyond this is dropped (it rebuilds — and recompiles —
+    # on its next request). Bounds what an adversarial/per-request-varying
+    # client can pin: without it every distinct (steps, sampler,
+    # noise_scale) holds a compiled chain for the process lifetime.
+    max_variant_samplers = 8
+
     def _sampler_for(self, bucket: int, variant: tuple) -> LinkerSampler:
         key = (bucket, variant)
         s = self._samplers.get(key)
-        if s is None:  # first request of this variant: build (compiles lazily)
-            s = LinkerSampler(self._variant_config(variant), self._params,
-                              mesh=self._mesh, max_retries=self._max_retries,
-                              pad_batch_to=self.batch_size,
-                              pad_nodes_to=bucket or None)
-            self._samplers[key] = s
+        if s is not None:
+            if key in self._variant_order:
+                self._variant_order.move_to_end(key)
+            return s
+        # first request of this variant: build (compiles lazily)
+        s = LinkerSampler(self._variant_config(variant), self._params,
+                          mesh=self._mesh, max_retries=self._max_retries,
+                          pad_batch_to=self.batch_size,
+                          pad_nodes_to=bucket or None)
+        self._samplers[key] = s
+        self._variant_order[key] = True
+        if len(self._variant_order) > self.max_variant_samplers:
+            oldest, _ = self._variant_order.popitem(last=False)
+            del self._samplers[oldest]
         return s
 
     def _flush(self, wave: List[_Request]):

@@ -99,9 +99,22 @@ def main():
         x = geometry.remove_partial_mean_with_mask(x, node_mask, com)
         return x, ctx
 
+    # one sampler per distinct chain program, weights swapped via
+    # update_params (jit args — no recompile): the student eval and the
+    # undistilled-ddim baseline at the same T share a program, and chain
+    # builds through the tunnel cost 150 s+ each (CLAUDE.md)
+    _eval_samplers = {}
+
     def eval_quality(eval_cfg, params, label):
-        sampler = LinkerSampler(eval_cfg, params,
-                                pad_batch_to=args.eval_batch)
+        d = eval_cfg.diffusion
+        prog = (d.timesteps, d.schedule_timesteps, d.sampler,
+                d.resample_steps, d.noise_scale)
+        sampler = _eval_samplers.get(prog)
+        if sampler is None:
+            sampler = _eval_samplers[prog] = LinkerSampler(
+                eval_cfg, params, pad_batch_to=args.eval_batch)
+        else:
+            sampler = sampler.update_params(params)
         t0 = time.time()
         m = sample_and_analyze(sampler,
                                val_ds.iter_batches(args.eval_batch),
@@ -160,6 +173,7 @@ def main():
         batch_iter = iter(train_ds.iter_batches(
             args.batch_size, shuffle=True, seed=student_T, drop_last=True))
         losses_log = []
+        loss_first = None
         t_stage = time.time()
         step = 0
         while step < args.steps_per_stage:
@@ -178,6 +192,8 @@ def main():
             keys = jax.random.split(kc, args.scan_chunk)
             student, opt, losses = run_chunk(student, opt, batch, keys)
             step += args.scan_chunk
+            if loss_first is None:
+                loss_first = float(losses[0])  # true step-1 loss
             losses_log.append(float(losses[-1]))
         stage_s = time.time() - t_stage
 
@@ -186,7 +202,7 @@ def main():
             cfg.diffusion, timesteps=student_T, schedule_timesteps=grid,
             sampler='ddim', resample_steps=1))
         row = eval_quality(student_cfg, student, f'student_T{student_T}')
-        row.update({'loss_first': round(losses_log[0], 5),
+        row.update({'loss_first': round(loss_first, 5),
                     'loss_last': round(losses_log[-1], 5),
                     'train_s': round(stage_s, 1),
                     'steps': args.steps_per_stage})

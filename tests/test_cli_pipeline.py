@@ -277,6 +277,42 @@ train:
     assert os.path.exists(os.path.join(out, '0', '0_.xyz'))
 
 
+def test_prepare_data_parallel_chunks_use_the_native_gate(tmp_path):
+    """run_parallel's per-chunk worker must dispatch on RDKit availability
+    exactly like run() (regression: _run_chunk once called the RDKit-only
+    process_sdf unconditionally, so `--workers > 1` crashed in RDKit-free
+    images — this one included). Chunked output must match run()'s
+    artifacts row-for-row after the uuid reassignment."""
+    import pandas as pd
+    from difflinker_tpu.dataprep import zinc
+    from difflinker_tpu.io.xyz import write_sdf
+
+    mols, names, rows = _linear_molecule_set(8, seed=3)
+    sdf = tmp_path / 'confs.sdf'
+    write_sdf(mols, str(sdf), titles=names)
+    triples = tmp_path / 'triples.smi'
+    triples.write_text('\n'.join(rows) + '\n')
+
+    par_dir = str(tmp_path / 'par')
+    zinc.run_parallel(str(triples), str(sdf), par_dir, 'zed', n_workers=1)
+    ser_dir = tmp_path / 'ser'
+    ser_dir.mkdir()
+    zinc.run(str(triples), str(sdf),
+             str(ser_dir / 'zed_mol.sdf'), str(ser_dir / 'zed_frag.sdf'),
+             str(ser_dir / 'zed_link.sdf'), str(ser_dir / 'zed_table.csv'))
+
+    t_par = pd.read_csv(os.path.join(par_dir, 'zed_table.csv'))
+    t_ser = pd.read_csv(ser_dir / 'zed_table.csv')
+    assert len(t_par) == len(t_ser) == 8
+    pd.testing.assert_frame_equal(
+        t_par.sort_values('molecule').reset_index(drop=True)
+             .drop(columns=['uuid']),
+        t_ser.sort_values('molecule').reset_index(drop=True)
+             .drop(columns=['uuid']))
+    for part in ('mol', 'frag', 'link'):
+        assert os.path.getsize(os.path.join(par_dir, f'zed_{part}.sdf')) > 0
+
+
 def test_distill_cli_produces_loadable_student_run(tmp_path):
     """cli.distill end to end (round 5): train a tiny teacher through
     cli.train, halve it one stage through the real distill main, and sample

@@ -382,3 +382,31 @@ def test_service_variant_sampler_sees_param_swaps():
         svc.submit(_raw_sample(5, 2), size_spec=4, steps=2).result(timeout=300)
         leaf2 = jax.tree.leaves(svc._samplers[(16, (2, None, None))].params)[0]
         np.testing.assert_array_equal(np.asarray(leaf2), np.asarray(leaf1))
+
+
+def test_service_variant_cache_is_bounded_lru():
+    """Lazily built variant samplers are capped (max_variant_samplers): the
+    least recently used beyond the cap is dropped (and rebuilds on its next
+    request); the eagerly built default lanes are never evicted."""
+    cfg = _cfg(timesteps=8)
+    with SamplingService(cfg, _params(cfg), batch_size=4, max_wait_s=0.05,
+                         node_buckets=(16,)) as svc:
+        svc.max_variant_samplers = 2
+        for steps in (2, 3):
+            svc.submit(_raw_sample(5, steps), size_spec=4,
+                       steps=steps).result(timeout=300)
+        # touch steps=2 so steps=3 is the LRU entry
+        svc.submit(_raw_sample(5, 9), size_spec=4, steps=2).result(timeout=300)
+        svc.submit(_raw_sample(5, 4), size_spec=4, steps=4).result(timeout=300)
+        keys = set(svc._samplers)
+        assert (16, (2, None, None)) in keys      # recently used: kept
+        assert (16, (4, None, None)) in keys      # newest: kept
+        assert (16, (3, None, None)) not in keys  # LRU: evicted
+        # default lanes are not part of the variant LRU
+        assert (16, (None, None, None)) in keys
+        assert (0, (None, None, None)) in keys
+        # an evicted variant transparently rebuilds on its next request
+        out = svc.submit(_raw_sample(5, 5), size_spec=4,
+                         steps=3).result(timeout=300)
+        assert not out['nan_flag'].any()
+        assert (16, (3, None, None)) in set(svc._samplers)

@@ -54,6 +54,13 @@ def test_parse_smiles_errors():
         parse_smiles('C(C')        # unbalanced branch
     with pytest.raises(SmilesError):
         parse_smiles('C[Qq]C')     # nonsense bracket
+    with pytest.raises(SmilesError):
+        parse_smiles('1CC1')       # ring digit before any atom: previously
+    with pytest.raises(SmilesError):  # bonded index -1 (the LAST atom)
+        parse_smiles('C.1CC1')     # ... same after a dot reset
+    with pytest.raises(SmilesError):
+        parse_smiles('C$C')        # '$' (order 4) would alias the
+        #                            MOL-V2000 aromatic code — rejected
 
 
 # --------------------------------------------------------------------------
