@@ -28,7 +28,6 @@ import argparse
 import dataclasses
 import json
 import os
-import time
 
 from difflinker_tpu.cli import common
 
@@ -95,17 +94,9 @@ def save_student_run(cfg, student_T: int, grid: int, params, out_dir: str,
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
-
     from difflinker_tpu.cli.sample import load_model
     from difflinker_tpu.data.datasets import LinkerDataset, synthetic_dataset
-    from difflinker_tpu.ops import geometry
-    from difflinker_tpu.ops.geometry import fc_edge_mask
-    from difflinker_tpu.train.distill import Distiller
-    from difflinker_tpu.train.trainer import assemble_context, com_mask_for
+    from difflinker_tpu.train.distill import Distiller, run_distill_stage
 
     common.enable_compilation_cache()
     cfg, teacher_params = load_model(args)
@@ -130,92 +121,24 @@ def main(argv=None):
     else:
         raise SystemExit('pass --data/--prefix or --synthetic N')
 
-    def prepare(batch):
-        # context + CoM removal: the Trainer's preprocessing (rotation aug
-        # is free for an E(3)-equivariant denoiser, skipped)
-        x = batch['positions']
-        node_mask = batch['atom_mask']
-        ctx = assemble_context(batch,
-                               anchors_context=cfg.train.anchors_context,
-                               has_pocket=cfg.data.has_pocket)
-        com = com_mask_for(batch, center_of_mass=cfg.train.center_of_mass,
-                           has_pocket=cfg.data.has_pocket, inpainting=False)
-        x = geometry.remove_partial_mean_with_mask(x, node_mask, com)
-        return x, ctx
-
     results = {'grid': grid, 'stages': []}
     current = teacher_params
     for student_T in stages:
         common.log(f'--- stage: T={2 * student_T} -> {student_T} ---')
         d = Distiller(cfg.model, cfg.diffusion, student_T)
-        student = d.init_student(current)
-        warmup = min(args.warmup, max(1, args.steps_per_stage // 4))
-        tx = optax.adam(optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, warmup, args.steps_per_stage))
-        opt = tx.init(student)
-        st_teacher = current  # device-resident through the jit closure
-
-        @jax.jit
-        def run_chunk(st, op, batch, keys):
-            def body(carry, key):
-                st, op = carry
-                x, ctx = prepare(batch)
-
-                def loss_fn(p):
-                    out = d.distill_loss(
-                        p, st_teacher, key, x, batch['one_hot'],
-                        batch['atom_mask'], batch['fragment_mask'],
-                        batch['linker_mask'], batch['edge_mask'], ctx,
-                        sample_weight=batch.get('sample_weight'))
-                    return out['loss']
-
-                loss, g = jax.value_and_grad(loss_fn)(st)
-                upd, op2 = tx.update(g, op, st)
-                return (optax.apply_updates(st, upd), op2), loss
-            (st, op), losses = jax.lax.scan(body, (st, op), keys)
-            return st, op, losses
-
-        key = jax.random.PRNGKey(args.seed + student_T)
-        batch_iter = iter(ds.iter_batches(args.batch_size, shuffle=True,
-                                          seed=student_T, drop_last=True))
-        losses_log, loss_first, step, t_stage = [], None, 0, time.time()
-        while step < args.steps_per_stage:
-            try:
-                batch = next(batch_iter)
-            except StopIteration:
-                batch_iter = iter(ds.iter_batches(
-                    args.batch_size, shuffle=True, seed=student_T + step,
-                    drop_last=True))
-                try:
-                    batch = next(batch_iter)
-                except StopIteration:
-                    raise SystemExit(
-                        f'dataset yields no batches at --batch-size '
-                        f'{args.batch_size} (drop_last): {len(ds)} molecules '
-                        f'— shrink --batch-size or grow the dataset')
-            # keep numeric tensors only: dataset batches carry id/name
-            # sidecars that cannot enter the jit boundary
-            batch = {k: v for k, v in batch.items()
-                     if hasattr(v, 'dtype')
-                     and np.issubdtype(np.asarray(v).dtype, np.number)}
-            if 'edge_mask' not in batch:
-                batch['edge_mask'] = fc_edge_mask(
-                    jnp.asarray(batch['atom_mask']))
-            key, kc = jax.random.split(key)
-            keys = jax.random.split(kc, args.scan_chunk)
-            student, opt, losses = run_chunk(student, opt, batch, keys)
-            step += args.scan_chunk
-            if loss_first is None:
-                # the stage's actual step-1 loss, not the end of chunk 1 —
-                # the quantity the early-divergence comparisons cite
-                loss_first = float(losses[0])
-            losses_log.append(float(losses[-1]))
+        try:
+            student, stats = run_distill_stage(
+                cfg, d, current, ds, steps_per_stage=args.steps_per_stage,
+                batch_size=args.batch_size, lr=args.lr, warmup=args.warmup,
+                scan_chunk=args.scan_chunk, seed=args.seed)
+        except ValueError as e:
+            raise SystemExit(str(e))
 
         row = {'student_T': student_T,
-               'loss_first': round(loss_first, 6),
-               'loss_last': round(losses_log[-1], 6),
-               'steps': args.steps_per_stage,
-               'train_s': round(time.time() - t_stage, 1)}
+               'loss_first': round(stats['loss_first'], 6),
+               'loss_last': round(stats['loss_last'], 6),
+               'steps': stats['steps'],
+               'train_s': round(stats['train_s'], 1)}
         if student_T in save_set:
             row['run_dir'] = save_student_run(
                 cfg, student_T, grid, student, args.out_dir,

@@ -150,3 +150,105 @@ class Distiller:
         loss_each = err / norm
         loss = jnp.sum(loss_each * w) / jnp.maximum(jnp.sum(w), 1.0)
         return {'loss': loss, 'nan_flag': nan1 | nan2 | nan3}
+
+
+def run_distill_stage(cfg, distiller: Distiller, teacher_params, ds, *,
+                      steps_per_stage: int, batch_size: int, lr: float,
+                      warmup: int, scan_chunk: int, seed: int = 11) -> tuple:
+    """Train one halving stage (the loop shared by cli.distill and
+    scripts/demo_distill): Adam with warmup-cosine onto a fresh optimizer
+    state, `scan_chunk` distill steps fused per dispatch, fresh data each
+    chunk (the batch enters as a jit argument, not a constant).
+
+    `cfg` is the full ExperimentConfig (context assembly / CoM removal use
+    its train+data sections — the Trainer's exact preprocessing; rotation
+    aug is free for an E(3)-equivariant denoiser, skipped). Returns
+    (student_params, stats) with stats keys loss_first (the stage's actual
+    step-1 loss — the early-divergence quantity), loss_last, train_s, steps.
+    """
+    import time
+
+    import numpy as np
+    import optax
+
+    from difflinker_tpu.ops.geometry import fc_edge_mask
+    from difflinker_tpu.train.trainer import assemble_context, com_mask_for
+
+    student = distiller.init_student(teacher_params)
+    # a converged teacher + fresh Adam state: low peak lr with warmup, or the
+    # early steps wreck the init (measured in docs/distill_results.json:
+    # lr 2e-4 took stage-1 loss 0.26 -> 0.30 and V+C down 16 points)
+    warmup = min(warmup, max(1, steps_per_stage // 4))
+    tx = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, steps_per_stage))
+    opt = tx.init(student)
+    st_teacher = teacher_params  # device-resident through the jit closure
+
+    def prepare(batch):
+        x = batch['positions']
+        node_mask = batch['atom_mask']
+        ctx = assemble_context(batch,
+                               anchors_context=cfg.train.anchors_context,
+                               has_pocket=cfg.data.has_pocket)
+        com = com_mask_for(batch, center_of_mass=cfg.train.center_of_mass,
+                           has_pocket=cfg.data.has_pocket, inpainting=False)
+        x = geometry.remove_partial_mean_with_mask(x, node_mask, com)
+        return x, ctx
+
+    @jax.jit
+    def run_chunk(st, op, batch, keys):
+        def body(carry, key):
+            st, op = carry
+            x, ctx = prepare(batch)
+
+            def loss_fn(p):
+                out = distiller.distill_loss(
+                    p, st_teacher, key, x, batch['one_hot'],
+                    batch['atom_mask'], batch['fragment_mask'],
+                    batch['linker_mask'], batch['edge_mask'], ctx,
+                    sample_weight=batch.get('sample_weight'))
+                return out['loss']
+
+            loss, g = jax.value_and_grad(loss_fn)(st)
+            upd, op2 = tx.update(g, op, st)
+            return (optax.apply_updates(st, upd), op2), loss
+        (st, op), losses = jax.lax.scan(body, (st, op), keys)
+        return st, op, losses
+
+    student_T = distiller.student_T
+    key = jax.random.PRNGKey(seed + student_T)
+    batch_iter = iter(ds.iter_batches(batch_size, shuffle=True,
+                                      seed=student_T, drop_last=True))
+    losses_log, loss_first, step, t_stage = [], None, 0, time.time()
+    while step < steps_per_stage:
+        try:
+            batch = next(batch_iter)
+        except StopIteration:
+            batch_iter = iter(ds.iter_batches(
+                batch_size, shuffle=True, seed=student_T + step,
+                drop_last=True))
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                raise ValueError(
+                    f'dataset yields no batches at batch_size={batch_size} '
+                    f'(drop_last): {len(ds)} molecules — shrink the batch '
+                    f'size or grow the dataset')
+        # keep numeric tensors only: dataset batches carry id/name sidecars
+        # that cannot enter the jit boundary
+        batch = {k: v for k, v in batch.items()
+                 if hasattr(v, 'dtype')
+                 and np.issubdtype(np.asarray(v).dtype, np.number)}
+        if 'edge_mask' not in batch:
+            batch['edge_mask'] = fc_edge_mask(jnp.asarray(batch['atom_mask']))
+        key, kc = jax.random.split(key)
+        keys = jax.random.split(kc, scan_chunk)
+        student, opt, losses = run_chunk(student, opt, batch, keys)
+        step += scan_chunk
+        if loss_first is None:
+            loss_first = float(losses[0])
+        losses_log.append(float(losses[-1]))
+
+    stats = {'loss_first': loss_first, 'loss_last': losses_log[-1],
+             'train_s': time.time() - t_stage, 'steps': steps_per_stage}
+    return student, stats

@@ -30,7 +30,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 
 
 def main():
@@ -57,8 +56,6 @@ def main():
 
     import dataclasses
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from difflinker_tpu.cli import common
     from difflinker_tpu.config import respace_config
@@ -66,12 +63,9 @@ def main():
     from difflinker_tpu.data.synthetic_molecules import synthetic_molecule_dataset
     from difflinker_tpu.demo import load_demo_model, recipe_val_dataset
     from difflinker_tpu.io.checkpoints import save_params_npz
-    from difflinker_tpu.ops import geometry
-    from difflinker_tpu.ops.geometry import fc_edge_mask
     from difflinker_tpu.sample.sampler import LinkerSampler
-    from difflinker_tpu.train.distill import Distiller
+    from difflinker_tpu.train.distill import Distiller, run_distill_stage
     from difflinker_tpu.train.evaluation import sample_and_analyze
-    from difflinker_tpu.train.trainer import assemble_context, com_mask_for
 
     common.enable_compilation_cache()
     cfg, teacher_params, meta = load_demo_model(args.teacher,
@@ -85,19 +79,6 @@ def main():
     train_raw = synthetic_molecule_dataset(args.train_size, seed=0)
     train_ds = PackedDataset(train_raw.samples)
     val_ds = recipe_val_dataset(meta, args.eval_n, seed=1)
-
-    def prepare(batch):
-        """Context + CoM removal, the Trainer's exact preprocessing
-        (rotation aug is free for an E(3)-equivariant denoiser, skipped)."""
-        x = batch['positions']
-        node_mask = batch['atom_mask']
-        ctx = assemble_context(batch,
-                               anchors_context=cfg.train.anchors_context,
-                               has_pocket=cfg.data.has_pocket)
-        com = com_mask_for(batch, center_of_mass=cfg.train.center_of_mass,
-                           has_pocket=cfg.data.has_pocket, inpainting=False)
-        x = geometry.remove_partial_mean_with_mask(x, node_mask, com)
-        return x, ctx
 
     # one sampler per distinct chain program, weights swapped via
     # update_params (jit args — no recompile): the student eval and the
@@ -141,71 +122,22 @@ def main():
     for student_T in stages:
         print(f'--- stage: T={2 * student_T} -> {student_T} ---', flush=True)
         d = Distiller(cfg.model, cfg.diffusion, student_T)
-        student = d.init_student(current)
-        tx = optax.adam(optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, args.warmup, args.steps_per_stage))
-        opt = tx.init(student)
-
-        # scan-chunked training: args.scan_chunk steps per dispatch, fresh
-        # data each chunk (the batch enters as a jit arg, not a constant)
-        @jax.jit
-        def run_chunk(st, op, batch, keys):
-            def body(carry, key):
-                st, op = carry
-                kb, kl = jax.random.split(key)
-                x, ctx = prepare(batch)
-
-                def loss_fn(p):
-                    out = d.distill_loss(
-                        p, st_teacher, kl, x, batch['one_hot'],
-                        batch['atom_mask'], batch['fragment_mask'],
-                        batch['linker_mask'], batch['edge_mask'], ctx)
-                    return out['loss']
-
-                loss, g = jax.value_and_grad(loss_fn)(st)
-                upd, op2 = tx.update(g, op, st)
-                return (optax.apply_updates(st, upd), op2), loss
-            (st, op), losses = jax.lax.scan(body, (st, op), keys)
-            return st, op, losses
-
-        st_teacher = current  # device-resident through the jit closure
-        key = jax.random.PRNGKey(11 + student_T)
-        batch_iter = iter(train_ds.iter_batches(
-            args.batch_size, shuffle=True, seed=student_T, drop_last=True))
-        losses_log = []
-        loss_first = None
-        t_stage = time.time()
-        step = 0
-        while step < args.steps_per_stage:
-            try:
-                batch = next(batch_iter)
-            except StopIteration:
-                batch_iter = iter(train_ds.iter_batches(
-                    args.batch_size, shuffle=True, seed=student_T + step,
-                    drop_last=True))
-                batch = next(batch_iter)
-            batch = dict(batch)
-            if 'edge_mask' not in batch:
-                batch['edge_mask'] = fc_edge_mask(
-                    jnp.asarray(batch['atom_mask']))
-            key, kc = jax.random.split(key)
-            keys = jax.random.split(kc, args.scan_chunk)
-            student, opt, losses = run_chunk(student, opt, batch, keys)
-            step += args.scan_chunk
-            if loss_first is None:
-                loss_first = float(losses[0])  # true step-1 loss
-            losses_log.append(float(losses[-1]))
-        stage_s = time.time() - t_stage
+        # the shared scan-chunked stage loop (train/distill.run_distill_stage
+        # — the same code cli.distill ships)
+        student, stats = run_distill_stage(
+            cfg, d, current, train_ds, steps_per_stage=args.steps_per_stage,
+            batch_size=args.batch_size, lr=args.lr, warmup=args.warmup,
+            scan_chunk=args.scan_chunk)
 
         # student quality at its step count (ddim, shared trained grid)
         student_cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
             cfg.diffusion, timesteps=student_T, schedule_timesteps=grid,
             sampler='ddim', resample_steps=1))
         row = eval_quality(student_cfg, student, f'student_T{student_T}')
-        row.update({'loss_first': round(loss_first, 5),
-                    'loss_last': round(losses_log[-1], 5),
-                    'train_s': round(stage_s, 1),
-                    'steps': args.steps_per_stage})
+        row.update({'loss_first': round(stats['loss_first'], 5),
+                    'loss_last': round(stats['loss_last'], 5),
+                    'train_s': round(stats['train_s'], 1),
+                    'steps': stats['steps']})
 
         # undistilled baselines at the SAME step count
         base_ddim = dataclasses.replace(cfg, diffusion=dataclasses.replace(
