@@ -49,6 +49,12 @@ def main():
                    help='resample_steps variants scored per trained model')
     p.add_argument('--steps', type=str, default='500,100',
                    help='sampling-T variants (subsequence respacing)')
+    p.add_argument('--noise', type=str, default='1.0',
+                   help='noise_scale variants (low-temperature sampling) '
+                        'scored per trained model')
+    p.add_argument('--save-params', type=str, default=None,
+                   help='save the LAST config\'s trained params as .npz '
+                        '(+ .config.json recipe sidecar)')
     args = p.parse_args()
 
     import jax
@@ -92,29 +98,40 @@ def main():
                       '(pure no-op steps)', flush=True)
                 continue
             for r in (int(v) for v in args.resample.split(',')):
-                scfg = respace_config(cfg, sample_T, 'subsequence')
-                scfg = dataclasses.replace(
-                    scfg, diffusion=dataclasses.replace(
-                        scfg.diffusion, resample_steps=r))
-                sampler = LinkerSampler(
-                    scfg, state['params'],
-                    make_edm(scfg.model, scfg.diffusion),
-                    pad_batch_to=args.batch_size)
-                m = sample_and_analyze(
-                    sampler, val_ds.iter_batches(args.batch_size),
-                    jax.random.PRNGKey(7), n_samples=1)
-                row = {'hidden': hidden, 'train_T': T, 'epochs': epochs,
-                       'sample_T': sample_T, 'resample_steps': r,
-                       'validity': round(m['validity'], 4),
-                       'validity_and_connectivity': round(
-                           m['validity_and_connectivity'], 4),
-                       'uniqueness': round(m['uniqueness'], 4),
-                       'elapsed_s': round(time.time() - t0, 1)}
-                results['runs'].append(row)
-                print(json.dumps(row), flush=True)
-                if args.out:
-                    with open(args.out, 'w') as f:
-                        json.dump(results, f, indent=2)
+                for ns in (float(v) for v in args.noise.split(',')):
+                    scfg = respace_config(cfg, sample_T, 'subsequence')
+                    scfg = dataclasses.replace(
+                        scfg, diffusion=dataclasses.replace(
+                            scfg.diffusion, resample_steps=r,
+                            noise_scale=ns))
+                    sampler = LinkerSampler(
+                        scfg, state['params'],
+                        make_edm(scfg.model, scfg.diffusion),
+                        pad_batch_to=args.batch_size)
+                    m = sample_and_analyze(
+                        sampler, val_ds.iter_batches(args.batch_size),
+                        jax.random.PRNGKey(7), n_samples=1)
+                    row = {'hidden': hidden, 'train_T': T, 'epochs': epochs,
+                           'sample_T': sample_T, 'resample_steps': r,
+                           'noise_scale': ns,
+                           'validity': round(m['validity'], 4),
+                           'validity_and_connectivity': round(
+                               m['validity_and_connectivity'], 4),
+                           'uniqueness': round(m['uniqueness'], 4),
+                           'elapsed_s': round(time.time() - t0, 1)}
+                    results['runs'].append(row)
+                    print(json.dumps(row), flush=True)
+                    if args.out:
+                        with open(args.out, 'w') as f:
+                            json.dump(results, f, indent=2)
+
+        if args.save_params:
+            from difflinker_tpu.io.checkpoints import save_params_npz
+            save_params_npz(state['params'], args.save_params)
+            with open(args.save_params + '.config.json', 'w') as f:
+                json.dump({'hidden': hidden, 'layers': args.layers,
+                           'timesteps': T, 'inpainting': True}, f)
+            print(f'saved params to {args.save_params}', flush=True)
 
     if results['runs']:
         best = max(results['runs'],
