@@ -17,6 +17,10 @@ def test_native_configs_load(path):
         # the TPU-recommended wide family (BASELINE.md width studies)
         assert cfg.model.hidden_nf in (256, 384)
         assert cfg.model.n_layers == 6
+    elif path.endswith('_flagship.yml'):
+        # the measured flagship width (BASELINE.md round-5 H=512 runs)
+        assert cfg.model.hidden_nf == 512
+        assert cfg.model.n_layers == 6
     else:
         assert cfg.model.hidden_nf == 128
     assert cfg.diffusion.timesteps == 500
