@@ -38,6 +38,10 @@ def main():
                    help='configs/*.yml whose model/diffusion shape drives the '
                         'demo (e.g. configs/zinc_difflinker_wide.yml — the '
                         'TPU-recommended wide recipe); data stays synthetic')
+    p.add_argument('--seed', type=int, default=0,
+                   help='init/training RNG seed (data seeds stay fixed, so '
+                        'different seeds train on the identical task — for '
+                        'seed-robustness measurements)')
     args = p.parse_args()
 
     import jax
@@ -79,8 +83,8 @@ def main():
                       lr_schedule='cosine' if args.cosine else 'constant',
                       decay_steps=args.epochs * steps_per_epoch,
                       warmup_steps=5 * steps_per_epoch if args.cosine else 0)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    key = jax.random.PRNGKey(args.seed + 1)
     results = []
     t_start = time.time()
 
